@@ -1,0 +1,374 @@
+"""Semi-naive Datalog fixpoint engine over Spark DataFrames.
+
+This is the Spark-first replacement for the reference's entire Rete runtime
+(RuleEngine.scala:50-95, ReteNodes.scala) — SURVEY.md O7. Instead of a triple-at-
+a-time agenda (LIFO, RuleEngine.scala:56-63) the engine runs *rounds*:
+
+    round r:  for each rule with k body atoms, evaluate k delta variants
+              (delta at position i, facts-so-far at positions j<i, facts-as-of-
+              previous-round at positions j>i — classic semi-naive, no duplicate
+              re-derivation across variants)
+              -> union instantiated heads across rules
+              -> distinct                       (R11 set semantics)
+              -> anti-join against accumulated facts   (R11 "only new to agenda")
+              -> delta_{r+1}; empty delta => least fixpoint (R13)
+
+Agenda order is irrelevant to the fixpoint (monotone rules + set semantics), so
+the reference's LIFO agendas and child-activation ordering (C5/O6) have no
+analogue — per-round `distinct` supersedes them.
+
+Scale design (the reason this exists):
+- delta is localCheckpoint'ed each round: truncates lineage AND gives AQE exact
+  sizes, so small deltas broadcast automatically in the next round's joins.
+- facts is a union of checkpointed deltas, re-checkpointed every few rounds to
+  bound plan depth; persisted MEMORY_AND_DISK for reuse across the k variants
+  of every rule in a round.
+- driver-side rule/variant skipping (the unlinking analogue, O5/R7/R8): one
+  `delta.groupBy(p).count()` per round yields the set of predicates with new
+  facts; a variant whose delta-position atom has a constant predicate absent
+  from the delta is skipped without launching a job, and a whole rule is
+  skipped when any constant-predicate body atom has zero facts overall.
+- alpha sharing (C2/O4): atom relations are memoized per (relation, blanked-
+  pattern signature) within a round, so rules sharing a selection share the
+  plan subtree.
+- nonlinear rules (e.g. transitivity written r(x,y) ^ r(y,z) -> r(x,z)) double
+  reachable path length per round, so rounds = O(log depth) out of the box.
+- AQE (incl. skew-join splitting) is expected ON; hot-key skew on rdf:type /
+  subClassOf object sides is further mitigated because TBox-side atom slices
+  are small and broadcast (SURVEY O12).
+
+Resumability (north rule): with ``checkpoint_dir`` set, each round's delta is
+written to parquet (``round=NNNN``) together with a ``metrics.jsonl`` line
+carrying round number, delta sizes, wall time, per-rule skip stats, and
+per-partition lineage (rows per shuffle partition of the delta);
+``FixpointEngine.resume`` restarts from the last completed round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from arachne_spark.model import TRIPLE_COLS
+from arachne_spark.plans.compiler import (
+    alpha_filter,
+    apply_head,
+    atom_signature,
+    bind_vars,
+    join_chain,
+)
+from arachne_spark.rules import Rule, RuleSet
+
+TRIPLE_SCHEMA = T.StructType(
+    [T.StructField(c, T.StringType(), False) for c in TRIPLE_COLS]
+)
+
+DERIVATION_COLS = ("s", "p", "o", "rule_name", "round")
+
+
+@dataclass
+class RoundMetrics:
+    round: int
+    delta_in: int
+    delta_out: int
+    facts_total: int
+    seconds: float
+    rules_skipped: int
+    variants_skipped: int
+    partition_lineage: list[int] = field(default_factory=list)
+
+    def to_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
+@dataclass
+class FixpointResult:
+    """The working memory at least fixpoint (WorkingMemory.scala:5-18 analogue)."""
+
+    facts: DataFrame          # asserted ∪ derived (WorkingMemory.facts, N1)
+    asserted: DataFrame
+    rounds: int
+    metrics: list[RoundMetrics]
+    derivations: Optional[DataFrame] = None  # (s,p,o,rule_name,round) when enabled
+
+    def inferred_only(self) -> DataFrame:
+        """facts minus asserted — the --inferred-only export (S6, Main.scala:81)."""
+        return self.facts.join(self.asserted, on=list(TRIPLE_COLS), how="left_anti")
+
+    @property
+    def facts_count(self) -> int:
+        return self.metrics[-1].facts_total if self.metrics else -1
+
+    def explain(self, s: str, p: str, o: str, max_depth: int = 10) -> list[dict]:
+        """Provenance chain for one (encoded) triple from the derivations table —
+        the offline analogue of WorkingMemory.explain (R14, WorkingMemory.scala:21-48).
+        Returns the list of (rule_name, round) records that first derived it."""
+        if self.derivations is None:
+            raise ValueError("materialized with store_derivations=False")
+        rows = (
+            self.derivations.filter(
+                (F.col("s") == s) & (F.col("p") == p) & (F.col("o") == o)
+            )
+            .select("rule_name", "round")
+            .collect()
+        )
+        return [r.asDict() for r in rows]
+
+
+def empty_triples(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], TRIPLE_SCHEMA)
+
+
+class FixpointEngine:
+    """Compile once, reuse for any number of datasets (README.md:9;
+    RuleEngine.scala:8-9 immutable network / per-dataset WorkingMemory:50-51).
+    The engine holds the validated RuleSet and per-materialization state lives
+    in the FixpointResult."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        ruleset: RuleSet,
+        *,
+        store_derivations: bool = False,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 8,
+        max_rounds: int = 10_000,
+    ) -> None:
+        self.spark = spark
+        self.ruleset = ruleset
+        self.store_derivations = store_derivations
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+        self.max_rounds = max_rounds
+        # precompute per-rule structure
+        self._rules = list(ruleset)
+
+    # -- alpha sharing (C2/O4): memoize the FILTER stage per (df, blanked
+    # signature); the variable projection is applied per atom, mirroring the
+    # reference where AlphaNodes share selections but bindings are per-pattern.
+    @staticmethod
+    def _atom_rel(cache: dict, df: DataFrame, atom) -> DataFrame:
+        key = (id(df), atom_signature(atom))
+        if key not in cache:
+            cache[key] = alpha_filter(df, atom)
+        return bind_vars(cache[key], atom)
+
+    @staticmethod
+    def _const_preds(rule: Rule) -> list[Optional[str]]:
+        out = []
+        for atom in rule.body:
+            p = atom[1]
+            out.append(p if isinstance(p, str) else None)
+        return out
+
+    def materialize(self, asserted: DataFrame) -> FixpointResult:
+        """Run to least fixpoint (processTriples, RuleEngine.scala:50-65)."""
+        spark = self.spark
+        asserted = asserted.select(*TRIPLE_COLS)
+        facts = asserted.distinct().localCheckpoint(eager=True)
+        return self._run(facts, asserted, round0=0, prior_metrics=[], derivations=None)
+
+    def resume(self, asserted: DataFrame) -> FixpointResult:
+        """Restart from the last completed round under ``checkpoint_dir``."""
+        if not self.checkpoint_dir:
+            raise ValueError("no checkpoint_dir configured")
+        rounds = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(self.checkpoint_dir)
+            if d.startswith("round=")
+        )
+        if not rounds:
+            return self.materialize(asserted)
+        deltas = [
+            self.spark.read.parquet(os.path.join(self.checkpoint_dir, f"round={r:04d}"))
+            .select(*TRIPLE_COLS)
+            for r in rounds
+        ]
+        facts = reduce(DataFrame.unionByName, deltas).localCheckpoint(eager=True)
+        metrics = []
+        mpath = os.path.join(self.checkpoint_dir, "metrics.jsonl")
+        if os.path.exists(mpath):
+            with open(mpath, encoding="utf-8") as f:
+                metrics = [RoundMetrics(**json.loads(line)) for line in f if line.strip()]
+            metrics = [m for m in metrics if m.round <= rounds[-1]]
+        delta = deltas[-1]
+        return self._run(
+            facts,
+            asserted,
+            round0=rounds[-1],
+            prior_metrics=metrics,
+            derivations=None,
+            delta0=delta.localCheckpoint(eager=True),
+            facts_old0=reduce(DataFrame.unionByName, deltas[:-1]).localCheckpoint(eager=True)
+            if len(deltas) > 1
+            else empty_triples(self.spark),
+        )
+
+    def _write_round(self, rnd: int, delta: DataFrame, m: RoundMetrics) -> None:
+        if not self.checkpoint_dir:
+            return
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        delta.write.mode("overwrite").parquet(
+            os.path.join(self.checkpoint_dir, f"round={rnd:04d}")
+        )
+        with open(
+            os.path.join(self.checkpoint_dir, "metrics.jsonl"), "a", encoding="utf-8"
+        ) as f:
+            f.write(json.dumps(m.to_dict()) + "\n")
+
+    def _run(
+        self,
+        facts: DataFrame,
+        asserted: DataFrame,
+        *,
+        round0: int,
+        prior_metrics: list[RoundMetrics],
+        derivations: Optional[DataFrame],
+        delta0: Optional[DataFrame] = None,
+        facts_old0: Optional[DataFrame] = None,
+    ) -> FixpointResult:
+        spark = self.spark
+        spo = list(TRIPLE_COLS)
+        delta = delta0 if delta0 is not None else facts
+        facts_old = facts_old0 if facts_old0 is not None else empty_triples(spark)
+        facts_count = delta.count() if round0 == 0 else (prior_metrics[-1].facts_total if prior_metrics else facts.count())
+        if round0 == 0:
+            m0 = RoundMetrics(0, 0, facts_count, facts_count, 0.0, 0, 0, [])
+            prior_metrics = [m0]
+            self._write_round(0, delta, m0)
+        metrics = list(prior_metrics)
+        if self.store_derivations and derivations is None:
+            derivations = spark.createDataFrame(
+                [],
+                T.StructType(
+                    [T.StructField(c, T.StringType(), False) for c in ("s", "p", "o", "rule_name")]
+                    + [T.StructField("round", T.IntegerType(), False)]
+                ),
+            )
+
+        # driver-side total predicate counts (for whole-rule skip, O5/R7/R8)
+        pred_totals: dict[str, int] = {
+            r["p"]: r["cnt"]
+            for r in facts.groupBy("p").agg(F.count("*").alias("cnt")).collect()
+        }
+
+        rnd = round0
+        while rnd < self.max_rounds:
+            rnd += 1
+            t0 = time.time()
+            delta_in = metrics[-1].delta_out if metrics else facts_count
+            delta_preds = {
+                r["p"]: r["cnt"]
+                for r in delta.groupBy("p").agg(F.count("*").alias("cnt")).collect()
+            }
+
+            cache: dict = {}
+            derived_parts: list[DataFrame] = []
+            derived_meta_parts: list[DataFrame] = []
+            rules_skipped = 0
+            variants_skipped = 0
+            for rule in self._rules:
+                cps = self._const_preds(rule)
+                # whole-rule skip: a const-predicate atom with zero facts at all
+                if any(cp is not None and pred_totals.get(cp, 0) == 0 for cp in cps):
+                    rules_skipped += 1
+                    continue
+                k = len(rule.body)
+                rule_fired = False
+                for i in range(k):
+                    cp = cps[i]
+                    if cp is not None and cp not in delta_preds:
+                        variants_skipped += 1
+                        continue
+                    dfs = [
+                        facts if j < i else (delta if j == i else facts_old)
+                        for j in range(k)
+                    ]
+                    bound = self._compile_variant(cache, dfs, rule)
+                    heads = apply_head(bound, rule.head)
+                    derived_parts.append(heads)
+                    rule_fired = True
+                    if self.store_derivations:
+                        derived_meta_parts.append(
+                            heads.withColumn("rule_name", F.lit(rule.name or ""))
+                        )
+                if not rule_fired:
+                    rules_skipped += 1
+
+            if derived_parts:
+                derived = reduce(DataFrame.unionByName, derived_parts)
+                new_delta = (
+                    derived.distinct()
+                    .join(facts, on=spo, how="left_anti")
+                    .localCheckpoint(eager=True)
+                )
+            else:
+                new_delta = empty_triples(spark).localCheckpoint(eager=True)
+            delta_out = new_delta.count()
+
+            if self.store_derivations and delta_out > 0 and derived_meta_parts:
+                meta = reduce(DataFrame.unionByName, derived_meta_parts)
+                round_derivs = (
+                    meta.join(new_delta, on=spo, how="left_semi")
+                    .distinct()
+                    .withColumn("round", F.lit(rnd))
+                )
+                derivations = derivations.unionByName(round_derivs).localCheckpoint(
+                    eager=True
+                )
+
+            facts_count += delta_out
+            lineage = [
+                r["cnt"]
+                for r in new_delta.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            ] if delta_out else []
+            m = RoundMetrics(
+                round=rnd,
+                delta_in=delta_in,
+                delta_out=delta_out,
+                facts_total=facts_count,
+                seconds=round(time.time() - t0, 4),
+                rules_skipped=rules_skipped,
+                variants_skipped=variants_skipped,
+                partition_lineage=lineage,
+            )
+            metrics.append(m)
+            self._write_round(rnd, new_delta, m)
+
+            if delta_out == 0:
+                break
+
+            for row_p, cnt in {
+                r["p"]: r["cnt"]
+                for r in new_delta.groupBy("p").agg(F.count("*").alias("cnt")).collect()
+            }.items():
+                pred_totals[row_p] = pred_totals.get(row_p, 0) + cnt
+
+            facts_old = facts
+            facts = facts.unionByName(new_delta)
+            if (rnd - round0) % self.checkpoint_every == 0:
+                facts = facts.localCheckpoint(eager=True)
+            delta = new_delta
+
+        return FixpointResult(
+            facts=facts,
+            asserted=asserted,
+            rounds=rnd - round0,
+            metrics=metrics,
+            derivations=derivations,
+        )
+
+    def _compile_variant(self, cache: dict, dfs, rule: Rule) -> DataFrame:
+        rels = [self._atom_rel(cache, df, a) for df, a in zip(dfs, rule.body)]
+        return join_chain(rels, rule.body)

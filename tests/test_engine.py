@@ -1,0 +1,143 @@
+"""Fixpoint engine: golden fixtures + differential vs the pure-Python oracle
+(same spirit as the reference's Jena differential test, TestInference.scala:30-36)."""
+
+import random
+
+import pytest
+
+from arachne_spark.engine import FixpointEngine
+from arachne_spark.oracle import naive_fixpoint
+from arachne_spark.rules import load_rules_json
+from tests.conftest import spo_set, triples_df
+
+R = "http://ex/r"
+
+
+def _trans_rules():
+    return load_rules_json(
+        [{"name": "trans", "body": [["?x", R, "?y"], ["?y", R, "?z"]],
+          "head": [["?x", R, "?z"]]}]
+    )
+
+
+def test_transitive_closure_chain(spark):
+    n = 17
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(n)]
+    eng = FixpointEngine(spark, _trans_rules())
+    res = eng.materialize(triples_df(spark, chain))
+    got = spo_set(res.facts)
+    expect = {(f"<n{i}>", f"<{R}>", f"<n{j}>") for i in range(n + 1) for j in range(i + 1, n + 1)}
+    assert got == expect
+    # nonlinear rule => O(log depth) rounds, not O(depth)
+    assert res.rounds <= 7, f"expected log-depth rounds, got {res.rounds}"
+
+
+def test_inferred_only(spark):
+    chain = [("<a>", f"<{R}>", "<b>"), ("<b>", f"<{R}>", "<c>")]
+    res = FixpointEngine(spark, _trans_rules()).materialize(triples_df(spark, chain))
+    assert spo_set(res.inferred_only()) == {("<a>", f"<{R}>", "<c>")}
+
+
+def test_differential_random_graph_vs_oracle(spark):
+    """Random edge graph + symmetric/transitive/type rules, vs naive oracle."""
+    rng = random.Random(7)
+    nodes = [f"<n{i}>" for i in range(15)]
+    edges = {(rng.choice(nodes), "<http://ex/e>", rng.choice(nodes)) for _ in range(25)}
+    types = {(rng.choice(nodes), "<http://rdf/type>", f"<C{rng.randint(0,3)}>") for _ in range(8)}
+    sub = {(f"<C{i}>", "<http://ex/sub>", f"<C{i+1}>") for i in range(3)}
+    asserted = sorted(edges | types | sub)
+    rules = load_rules_json(
+        [
+            {"name": "sym", "body": [["?x", "http://ex/e", "?y"]],
+             "head": [["?y", "http://ex/e", "?x"]]},
+            {"name": "trans", "body": [["?x", "http://ex/e", "?y"], ["?y", "http://ex/e", "?z"]],
+             "head": [["?x", "http://ex/e", "?z"]]},
+            {"name": "subTrans", "body": [["?a", "http://ex/sub", "?b"], ["?b", "http://ex/sub", "?c"]],
+             "head": [["?a", "http://ex/sub", "?c"]]},
+            {"name": "typeInherit", "body": [["?i", "http://rdf/type", "?c"], ["?c", "http://ex/sub", "?d"]],
+             "head": [["?i", "http://rdf/type", "?d"]]},
+        ]
+    )
+    expect = naive_fixpoint(asserted, rules)
+    res = FixpointEngine(spark, rules).materialize(triples_df(spark, asserted))
+    assert spo_set(res.facts) == expect
+
+
+def test_predicate_position_variable_rule(spark):
+    """SURVEY N5: variable in predicate position joins on p."""
+    rules = load_rules_json(
+        [{"name": "inv_all", "body": [["?x", "?p", "?y"], ["?p", "http://ex/invertible", {"lex": "true"}]],
+          "head": [["?y", "?p", "?x"]]}]
+    )
+    data = [
+        ("<a>", "<http://ex/knows>", "<b>"),
+        ("<http://ex/knows>", "<http://ex/invertible>", '"true"'),
+        ("<c>", "<http://ex/likes>", "<d>"),
+    ]
+    res = FixpointEngine(spark, rules).materialize(triples_df(spark, data))
+    expect = naive_fixpoint(data, rules)
+    assert spo_set(res.facts) == expect
+    assert ("<b>", "<http://ex/knows>", "<a>") in expect
+    assert ("<d>", "<http://ex/likes>", "<c>") not in expect
+
+
+def test_cross_product_rule_fixpoint(spark):
+    rules = load_rules_json(
+        [{"name": "pair", "body": [["?x", "http://ex/left", None], ["?y", "http://ex/right", None]],
+          "head": [["?x", "http://ex/pairs", "?y"]]}]
+    )
+    data = [("<l1>", "<http://ex/left>", "<z>"), ("<l2>", "<http://ex/left>", "<z>"),
+            ("<r1>", "<http://ex/right>", "<z>")]
+    res = FixpointEngine(spark, rules).materialize(triples_df(spark, data))
+    assert spo_set(res.facts) == naive_fixpoint(data, rules)
+
+
+def test_metrics_and_monotone_rounds(spark):
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(8)]
+    res = FixpointEngine(spark, _trans_rules()).materialize(triples_df(spark, chain))
+    assert res.metrics[0].round == 0
+    assert res.metrics[0].facts_total == len(chain)
+    assert res.metrics[-1].delta_out == 0
+    totals = [m.facts_total for m in res.metrics]
+    assert totals == sorted(totals)
+    assert res.facts_count == res.facts.count()
+
+
+def test_store_derivations_and_explain(spark):
+    chain = [("<a>", f"<{R}>", "<b>"), ("<b>", f"<{R}>", "<c>")]
+    eng = FixpointEngine(spark, _trans_rules(), store_derivations=True)
+    res = eng.materialize(triples_df(spark, chain))
+    ex = res.explain("<a>", f"<{R}>", "<c>")
+    assert ex and ex[0]["rule_name"] == "trans" and ex[0]["round"] == 1
+    # asserted facts have no derivations (R12: only new-to-facts recorded)
+    assert res.explain("<a>", f"<{R}>", "<b>") == []
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(12)]
+    eng = FixpointEngine(spark, _trans_rules(), checkpoint_dir=ckpt)
+    res = eng.materialize(triples_df(spark, chain))
+    expect = spo_set(res.facts)
+    # resume from the written checkpoints reproduces the same fixpoint
+    eng2 = FixpointEngine(spark, _trans_rules(), checkpoint_dir=ckpt)
+    res2 = eng2.resume(triples_df(spark, chain))
+    assert spo_set(res2.facts) == expect
+    # metrics file exists with one line per round
+    assert (tmp_path / "ckpt" / "metrics.jsonl").exists()
+
+
+def test_rule_skipping_counts(spark):
+    rules = load_rules_json(
+        [
+            {"name": "live", "body": [["?x", "http://ex/e", "?y"]],
+             "head": [["?y", "http://ex/e2", "?x"]]},
+            {"name": "dead", "body": [["?x", "http://ex/absent", "?y"]],
+             "head": [["?y", "http://ex/absent2", "?x"]]},
+        ]
+    )
+    data = [("<a>", "<http://ex/e>", "<b>")]
+    res = FixpointEngine(spark, rules).materialize(triples_df(spark, data))
+    assert spo_set(res.facts) == naive_fixpoint(data, rules)
+    # the dead rule was skipped in every round
+    assert all(m.rules_skipped >= 1 for m in res.metrics if m.round >= 1)
