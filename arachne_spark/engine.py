@@ -140,7 +140,7 @@ class FixpointEngine:
         *,
         store_derivations: bool = False,
         checkpoint_dir: Optional[str] = None,
-        checkpoint_every: int = 8,
+        checkpoint_every: int = 1,
         max_rounds: int = 10_000,
     ) -> None:
         self.spark = spark
@@ -161,6 +161,28 @@ class FixpointEngine:
         if key not in cache:
             cache[key] = alpha_filter(df, atom)
         return bind_vars(cache[key], atom)
+
+    @staticmethod
+    def _delta_stats(delta: DataFrame) -> tuple[dict[str, int], int, list[int]]:
+        """One job -> (per-predicate counts, total, per-partition lineage).
+
+        Predicate counts drive variant skipping (the unlinking analogue,
+        O5/R7/R8); the partition histogram is the per-partition lineage the
+        north rule asks for in round metrics. The number of distinct
+        predicates is ontology-bounded (small), so collecting is safe.
+        """
+        rows = (
+            delta.groupBy(F.spark_partition_id().alias("pid"), F.col("p"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        preds: dict[str, int] = {}
+        lineage: dict[int, int] = {}
+        for r in rows:
+            preds[r["p"]] = preds.get(r["p"], 0) + r["cnt"]
+            lineage[r["pid"]] = lineage.get(r["pid"], 0) + r["cnt"]
+        total = sum(preds.values())
+        return preds, total, [lineage[k] for k in sorted(lineage)]
 
     @staticmethod
     def _const_preds(rule: Rule) -> list[Optional[str]]:
@@ -240,9 +262,16 @@ class FixpointEngine:
         spo = list(TRIPLE_COLS)
         delta = delta0 if delta0 is not None else facts
         facts_old = facts_old0 if facts_old0 is not None else empty_triples(spark)
-        facts_count = delta.count() if round0 == 0 else (prior_metrics[-1].facts_total if prior_metrics else facts.count())
+        # one aggregation job per delta yields total count, per-predicate counts
+        # (variant skipping) and per-partition lineage (metrics) together
+        delta_preds, delta_total, delta_lineage = self._delta_stats(delta)
+        facts_count = (
+            delta_total
+            if round0 == 0
+            else (prior_metrics[-1].facts_total if prior_metrics else facts.count())
+        )
         if round0 == 0:
-            m0 = RoundMetrics(0, 0, facts_count, facts_count, 0.0, 0, 0, [])
+            m0 = RoundMetrics(0, 0, facts_count, facts_count, 0.0, 0, 0, delta_lineage)
             prior_metrics = [m0]
             self._write_round(0, delta, m0)
         metrics = list(prior_metrics)
@@ -256,20 +285,19 @@ class FixpointEngine:
             )
 
         # driver-side total predicate counts (for whole-rule skip, O5/R7/R8)
-        pred_totals: dict[str, int] = {
-            r["p"]: r["cnt"]
-            for r in facts.groupBy("p").agg(F.count("*").alias("cnt")).collect()
-        }
+        if round0 == 0 and delta0 is None:
+            pred_totals: dict[str, int] = dict(delta_preds)
+        else:
+            pred_totals = {
+                r["p"]: r["cnt"]
+                for r in facts.groupBy("p").agg(F.count("*").alias("cnt")).collect()
+            }
 
         rnd = round0
         while rnd < self.max_rounds:
             rnd += 1
             t0 = time.time()
-            delta_in = metrics[-1].delta_out if metrics else facts_count
-            delta_preds = {
-                r["p"]: r["cnt"]
-                for r in delta.groupBy("p").agg(F.count("*").alias("cnt")).collect()
-            }
+            delta_in = delta_total
 
             cache: dict = {}
             derived_parts: list[DataFrame] = []
@@ -313,7 +341,7 @@ class FixpointEngine:
                 )
             else:
                 new_delta = empty_triples(spark).localCheckpoint(eager=True)
-            delta_out = new_delta.count()
+            new_preds, delta_out, lineage = self._delta_stats(new_delta)
 
             if self.store_derivations and delta_out > 0 and derived_meta_parts:
                 meta = reduce(DataFrame.unionByName, derived_meta_parts)
@@ -327,12 +355,6 @@ class FixpointEngine:
                 )
 
             facts_count += delta_out
-            lineage = [
-                r["cnt"]
-                for r in new_delta.groupBy(F.spark_partition_id().alias("pid"))
-                .agg(F.count("*").alias("cnt"))
-                .collect()
-            ] if delta_out else []
             m = RoundMetrics(
                 round=rnd,
                 delta_in=delta_in,
@@ -349,14 +371,18 @@ class FixpointEngine:
             if delta_out == 0:
                 break
 
-            for row_p, cnt in {
-                r["p"]: r["cnt"]
-                for r in new_delta.groupBy("p").agg(F.count("*").alias("cnt")).collect()
-            }.items():
+            for row_p, cnt in new_preds.items():
                 pred_totals[row_p] = pred_totals.get(row_p, 0) + cnt
+            delta_preds, delta_total = new_preds, delta_out
 
             facts_old = facts
             facts = facts.unionByName(new_delta)
+            # Checkpointing the union every round gives every relation handle
+            # fresh attribute ids. Without it, the delta's LogicalRDD node
+            # appears both inside the facts union and as the delta relation of
+            # the next round's joins, which trips Spark 4.1's relation
+            # deduplication ("key not found: attr") on var-predicate rule
+            # shapes. It also hands AQE exact facts statistics each round.
             if (rnd - round0) % self.checkpoint_every == 0:
                 facts = facts.localCheckpoint(eager=True)
             delta = new_delta

@@ -1,0 +1,251 @@
+"""Reasoner query facade over a materialized facts DataFrame — the Spark-SQL
+re-expression of the reference's OWLReasoner/SPARQL facade
+(util/ArachneOWLReasoner.scala; operator map SURVEY.md §2.5 Q1-Q14).
+
+The reference materializes facts into a Jena model and answers OWLReasoner
+calls with SPARQL (flush, ArachneOWLReasoner.scala:49-58). Here the facts are
+already a DataFrame; every facade call is a Catalyst plan over it. All term
+arguments and results use the *encoded* term strings (model.py); helpers that
+take raw IRIs encode them.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Iterable, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arachne_spark.model import (
+    INDIRECT_TYPE,
+    OWL_DIFFERENTFROM,
+    OWL_NAMED_INDIVIDUAL,
+    OWL_NOTHING,
+    OWL_SAMEAS,
+    RDF_TYPE,
+    RDFS_SUBCLASSOF,
+    TRIPLE_COLS,
+    encode_iri,
+    encode_resource,
+)
+from arachne_spark.plans.compiler import apply_head, compile_body
+from arachne_spark.rules import Atom
+
+_TYPE = encode_iri(RDF_TYPE)
+_SCO = encode_iri(RDFS_SUBCLASSOF)
+_SAME = encode_iri(OWL_SAMEAS)
+_DIFF = encode_iri(OWL_DIFFERENTFROM)
+_IND = encode_iri(INDIRECT_TYPE)
+_NOTHING = encode_iri(OWL_NOTHING)
+_NAMED = encode_iri(OWL_NAMED_INDIVIDUAL)
+
+
+def transitive_closure(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 64
+) -> DataFrame:
+    """Distributed transitive closure by iterative doubling — O(log depth)
+    rounds. The facade's property-path evaluator (Q4/Q5
+    `rdfs:subClassOf+`, ArachneOWLReasoner.scala:179). Each round joins the
+    closure-so-far with itself, so a path of length 2^k exists after k rounds.
+    """
+    spark = edges.sparkSession
+    closure = edges.select(src, dst).distinct().localCheckpoint(eager=True)
+    n = closure.count()
+    for _ in range(max_iter):
+        hop = (
+            closure.alias("a")
+            .join(closure.alias("b"), F.col(f"a.{dst}") == F.col(f"b.{src}"))
+            .select(F.col(f"a.{src}").alias(src), F.col(f"b.{dst}").alias(dst))
+        )
+        new_closure = closure.unionByName(hop).distinct().localCheckpoint(eager=True)
+        n2 = new_closure.count()
+        if n2 == n:
+            return closure
+        closure, n = new_closure, n2
+    return closure
+
+
+class Reasoner:
+    """Query facade over materialized facts (encoded 3-column schema)."""
+
+    def __init__(self, facts: DataFrame):
+        self.facts = facts
+
+    # -- helpers -----------------------------------------------------------
+    def _po(self, p: str, o: Optional[str] = None) -> DataFrame:
+        df = self.facts.filter(F.col("p") == p)
+        if o is not None:
+            df = df.filter(F.col("o") == o)
+        return df
+
+    # -- Q1/Q2: getInstances (ArachneOWLReasoner.scala:74-101) --------------
+    def instances(self, cls: str, direct: bool = False) -> DataFrame:
+        """Named individuals of class `cls` (raw IRI). direct=True filters out
+        individuals that hold the indirect_type marker for the class (Q2,
+        FILTER NOT EXISTS -> left_anti)."""
+        c = encode_iri(cls)
+        inst = (
+            self._po(_TYPE, c)
+            .filter(F.col("s").startswith("<"))  # FILTER(isIRI(?s))
+            .select("s")
+            .distinct()
+        )
+        if direct:
+            indirect = self._po(_IND, c).select("s")
+            inst = inst.join(indirect, on="s", how="left_anti")
+        return inst
+
+    # -- Q3: getTypes (ArachneOWLReasoner.scala:245-276) --------------------
+    def types(self, ind: str, direct: bool = False) -> DataFrame:
+        i = encode_resource(ind)
+        t = (
+            self.facts.filter((F.col("s") == i) & (F.col("p") == _TYPE))
+            .filter(F.col("o") != _NAMED)  # FILTER(?o != owl:NamedIndividual)
+            .select(F.col("o").alias("cls"))
+            .distinct()
+        )
+        if direct:
+            ind_types = (
+                self.facts.filter((F.col("s") == i) & (F.col("p") == _IND))
+                .select(F.col("o").alias("cls"))
+            )
+            t = t.join(ind_types, on="cls", how="left_anti")
+        return t
+
+    # -- Q4/Q5: sub/superclass property paths (ArachneOWLReasoner.scala:159-223)
+    def _sco_closure(self) -> DataFrame:
+        edges = self._po(_SCO).select(
+            F.col("s").alias("src"), F.col("o").alias("dst")
+        )
+        return transitive_closure(edges)
+
+    def subclasses(self, cls: str, direct: bool = False) -> DataFrame:
+        c = encode_iri(cls)
+        if direct:
+            return self._po(_SCO, c).select(F.col("s").alias("cls")).distinct()
+        clo = self._sco_closure()
+        return (
+            clo.filter(F.col("dst") == c).select(F.col("src").alias("cls")).distinct()
+        )
+
+    def superclasses(self, cls: str, direct: bool = False) -> DataFrame:
+        c = encode_iri(cls)
+        if direct:
+            return (
+                self.facts.filter((F.col("s") == c) & (F.col("p") == _SCO))
+                .select(F.col("o").alias("cls"))
+                .distinct()
+            )
+        clo = self._sco_closure()
+        return (
+            clo.filter(F.col("src") == c).select(F.col("dst").alias("cls")).distinct()
+        )
+
+    # -- Q6: getObjectPropertyValues (incl. inverse, :103-118) --------------
+    def object_property_values(
+        self, ind: str, prop: str, inverse: bool = False
+    ) -> DataFrame:
+        i, p = encode_resource(ind), encode_iri(prop)
+        if inverse:
+            # inverse path ^<p>: values are subjects with (?v p ind)
+            return (
+                self.facts.filter((F.col("p") == p) & (F.col("o") == i))
+                .select(F.col("s").alias("value"))
+                .distinct()
+            )
+        return (
+            self.facts.filter((F.col("s") == i) & (F.col("p") == p))
+            .filter(F.col("o").startswith("<"))
+            .select(F.col("o").alias("value"))
+            .distinct()
+        )
+
+    # -- Q7: getDataPropertyValues (FILTER isLiteral, :120-137) --------------
+    def data_property_values(self, ind: str, prop: str) -> DataFrame:
+        i, p = encode_resource(ind), encode_iri(prop)
+        return (
+            self.facts.filter((F.col("s") == i) & (F.col("p") == p))
+            .filter(F.col("o").startswith('"'))  # FILTER(isLiteral(?o))
+            .select(F.col("o").alias("value"))
+            .distinct()
+        )
+
+    # -- Q8: getSameIndividuals (unioned with self, :145-157) ---------------
+    def same_individuals(self, ind: str) -> DataFrame:
+        i = encode_resource(ind)
+        spark = self.facts.sparkSession
+        selfdf = spark.createDataFrame([(i,)], "ind string")
+        sames = (
+            self.facts.filter((F.col("s") == i) & (F.col("p") == _SAME))
+            .select(F.col("o").alias("ind"))
+        )
+        return sames.unionByName(selfdf).distinct()
+
+    # -- Q9: getDifferentIndividuals (:60-72) --------------------------------
+    def different_individuals(self, ind: str) -> DataFrame:
+        i = encode_resource(ind)
+        return (
+            self.facts.filter((F.col("s") == i) & (F.col("p") == _DIFF))
+            .select(F.col("o").alias("ind"))
+            .distinct()
+        )
+
+    # -- Q10: isConsistent (ASK ?s type owl:Nothing, negated; :280-291) ------
+    def is_consistent(self) -> bool:
+        return self._po(_TYPE, _NOTHING).limit(1).isEmpty()
+
+    # -- Q11/Q12: isEntailed (:293-315) ---------------------------------------
+    def is_entailed(self, s: str, p: str, o: str) -> bool:
+        """Exact encoded triple present? (ASK)"""
+        return not (
+            self.facts.filter(
+                (F.col("s") == s) & (F.col("p") == p) & (F.col("o") == o)
+            )
+            .limit(1)
+            .isEmpty()
+        )
+
+    def all_entailed(self, axioms: DataFrame) -> bool:
+        """Set version as ONE query (the reference's TODO at :315): anti-join
+        the axiom triples against facts; entailed iff no survivor."""
+        return axioms.select(*TRIPLE_COLS).join(
+            self.facts, on=list(TRIPLE_COLS), how="left_anti"
+        ).limit(1).isEmpty()
+
+    # -- Q13: generic query runners (:319-338) --------------------------------
+    def select_bgp(self, patterns: Sequence[Atom]) -> DataFrame:
+        """SPARQL basic-graph-pattern SELECT: self-joins of the facts view via
+        the rule-body compiler; result columns are the variable names."""
+        return compile_body([self.facts] * len(patterns), list(patterns))
+
+    def ask_bgp(self, patterns: Sequence[Atom]) -> bool:
+        return not self.select_bgp(patterns).limit(1).isEmpty()
+
+    def construct_bgp(
+        self, where: Sequence[Atom], template: Sequence[Atom]
+    ) -> DataFrame:
+        bound = self.select_bgp(where)
+        return apply_head(bound, list(template)).distinct()
+
+    def create_view(self, name: str = "facts") -> None:
+        """Register the facts for spark.sql(...) — the general query surface."""
+        self.facts.createOrReplaceTempView(name)
+
+    # -- Q14: the ~25 OWLReasoner methods the reference leaves ??? ----------
+    def __getattr__(self, item):
+        _unsupported = {
+            "equivalent_classes",
+            "disjoint_classes",
+            "equivalent_properties",
+            "disjoint_properties",
+            "sub_properties",
+            "super_properties",
+            "unsatisfiable_classes",
+        }
+        if item in _unsupported:
+            raise NotImplementedError(
+                f"{item} is unsupported, matching the reference "
+                "(ArachneOWLReasoner.scala:190-241,340-378 leave these ???)"
+            )
+        raise AttributeError(item)

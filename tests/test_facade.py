@@ -1,0 +1,129 @@
+"""Facade Q1-Q14 over a materialized facts view (ArachneOWLReasoner.scala map)."""
+
+import pytest
+
+from arachne_spark.engine import FixpointEngine
+from arachne_spark.facade import Reasoner, transitive_closure
+from arachne_spark.model import encode_iri, encode_literal
+from arachne_spark.owlrl import owl_rl_core, indirect_type_rule, strict_superclass_triples
+from arachne_spark.rules import RuleSet, Var
+from tests.conftest import spo_set, triples_df
+
+EX = "http://example.org/"
+TYPE = encode_iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+SCO = encode_iri("http://www.w3.org/2000/01/rdf-schema#subClassOf")
+SAME = encode_iri("http://www.w3.org/2002/07/owl#sameAs")
+DIFF = encode_iri("http://www.w3.org/2002/07/owl#differentFrom")
+NOTHING = encode_iri("http://www.w3.org/2002/07/owl#Nothing")
+NAMED = encode_iri("http://www.w3.org/2002/07/owl#NamedIndividual")
+
+
+def e(x):
+    return encode_iri(EX + x)
+
+
+@pytest.fixture(scope="module")
+def reasoner(spark):
+    tbox = [(e("B"), SCO, e("A")), (e("C"), SCO, e("B"))]
+    abox = [
+        (e("i1"), TYPE, e("C")),
+        (e("i2"), TYPE, e("B")),
+        (e("i1"), TYPE, NAMED),
+        ("_:anon", TYPE, e("C")),
+        (e("i1"), e("knows"), e("i2")),
+        (e("i1"), e("label"), encode_literal("one")),
+        (e("i1"), SAME, e("i1b")),
+        (e("i1"), DIFF, e("i9")),
+    ]
+    strict = strict_superclass_triples([(s, o) for s, _, o in tbox])
+    rules = RuleSet(list(owl_rl_core()) + [indirect_type_rule()])
+    res = FixpointEngine(spark, rules).materialize(
+        triples_df(spark, tbox + abox + strict)
+    )
+    return Reasoner(res.facts.cache())
+
+
+def test_q1_instances(reasoner):
+    got = {r["s"] for r in reasoner.instances(EX + "A").collect()}
+    # isIRI filter drops the blank node (Q1: FILTER(isIRI(?s)))
+    assert got == {e("i1"), e("i2"), e("i1b")}
+
+
+def test_q2_direct_instances(reasoner):
+    got = {r["s"] for r in reasoner.instances(EX + "B", direct=True).collect()}
+    # i1 is type B only indirectly (via C subClassOf B)
+    assert e("i2") in got and e("i1") not in got
+
+
+def test_q3_types(reasoner):
+    got = {r["cls"] for r in reasoner.types(EX + "i1").collect()}
+    assert got >= {e("A"), e("B"), e("C")}
+    assert NAMED not in got  # FILTER(?o != owl:NamedIndividual)
+    direct = {r["cls"] for r in reasoner.types(EX + "i1", direct=True).collect()}
+    assert e("C") in direct and e("A") not in direct
+
+
+def test_q4_q5_class_hierarchy(reasoner):
+    subs = {r["cls"] for r in reasoner.subclasses(EX + "A").collect()}
+    assert subs >= {e("B"), e("C")}
+    direct_subs = {r["cls"] for r in reasoner.subclasses(EX + "A", direct=True).collect()}
+    assert e("B") in direct_subs
+    sups = {r["cls"] for r in reasoner.superclasses(EX + "C").collect()}
+    assert sups >= {e("A"), e("B")}
+
+
+def test_q6_q7_property_values(reasoner):
+    vals = {r["value"] for r in reasoner.object_property_values(EX + "i1", EX + "knows").collect()}
+    assert e("i2") in vals
+    inv = {r["value"] for r in reasoner.object_property_values(EX + "i2", EX + "knows", inverse=True).collect()}
+    assert e("i1") in inv
+    data = {r["value"] for r in reasoner.data_property_values(EX + "i1", EX + "label").collect()}
+    assert data == {encode_literal("one")}
+
+
+def test_q8_q9_same_different(reasoner):
+    same = {r["ind"] for r in reasoner.same_individuals(EX + "i1").collect()}
+    assert same == {e("i1"), e("i1b")}  # unioned with self (:156)
+    diff = {r["ind"] for r in reasoner.different_individuals(EX + "i1").collect()}
+    assert diff == {e("i9")}
+
+
+def test_q10_consistency(reasoner, spark):
+    assert reasoner.is_consistent()
+    bad = Reasoner(triples_df(spark, [(e("i"), TYPE, NOTHING)]))
+    assert not bad.is_consistent()
+
+
+def test_q11_q12_entailment(reasoner, spark):
+    assert reasoner.is_entailed(e("i1"), TYPE, e("A"))
+    assert not reasoner.is_entailed(e("i1"), TYPE, e("Zzz"))
+    axioms = triples_df(spark, [(e("i1"), TYPE, e("A")), (e("i2"), TYPE, e("A"))])
+    assert reasoner.all_entailed(axioms)
+    axioms2 = triples_df(spark, [(e("i1"), TYPE, e("Zzz"))])
+    assert not reasoner.all_entailed(axioms2)
+
+
+def test_q13_bgp(reasoner):
+    x, y = Var("x"), Var("y")
+    rows = reasoner.select_bgp([(x, TYPE, e("C")), (x, e("knows"), y)]).collect()
+    # sameAs substitution (eq-rep-s) makes i1b a C that knows i2, too
+    assert {(r["v_x"], r["v_y"]) for r in rows} == {
+        (e("i1"), e("i2")),
+        (e("i1b"), e("i2")),
+    }
+    assert reasoner.ask_bgp([(x, TYPE, e("C"))])
+    out = reasoner.construct_bgp([(x, TYPE, e("C"))], [(x, e("inferredType"), e("C"))])
+    assert (e("i1"), e("inferredType"), e("C")) in spo_set(out)
+
+
+def test_q14_unsupported(reasoner):
+    with pytest.raises(NotImplementedError):
+        reasoner.equivalent_classes()
+
+
+def test_transitive_closure_doubling(spark):
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(9)], "src string, dst string"
+    )
+    clo = transitive_closure(edges)
+    assert clo.count() == 45  # 10 nodes, all ordered pairs
