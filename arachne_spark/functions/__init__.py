@@ -1,0 +1,33 @@
+from arachne_spark.functions.dedup import (
+    exact_dup_groups,
+    minhash_bands,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from arachne_spark.functions.similarity import (
+    cosine_topk,
+    ivf_assign,
+    ivf_topk,
+)
+from arachne_spark.functions.text import (
+    langid,
+    quality_features,
+    token_counts,
+    fingerprint,
+)
+
+__all__ = [
+    "exact_dup_groups",
+    "minhash_bands",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "cosine_topk",
+    "ivf_assign",
+    "ivf_topk",
+    "langid",
+    "quality_features",
+    "token_counts",
+    "fingerprint",
+]

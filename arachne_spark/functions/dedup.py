@@ -1,0 +1,140 @@
+"""Deduplication operators for the training-data pipeline.
+
+All hot paths are built-in Catalyst expressions (whole-stage codegen); hashing
+uses md5 over deterministic strings so results are engine-independent (the
+DuckDB oracles in __spark_entry__.py compute the identical formulas).
+
+- exact:     sha256(text) group-by (one shuffle on the hash, trivially
+             balanced).
+- MinHash+LSH: word-3-shingles -> per-band minhash (min over md5(band:shingle))
+             -> candidate pairs join per band bucket. At scale the band join
+             shuffles only (band, minhash) buckets — never the full text.
+- n-gram Jaccard: exact verification on candidate pairs via array intersect /
+             union sizes.
+- SimHash:   64-bit sign-aggregated token hashes via bit arithmetic on
+             xxhash64 (JVM-side), grouped by band for near-dup blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_BANDS = 4
+
+
+def _shingles(text_col: str, k: int = 3):
+    """Word k-shingles, 1-based slices — formula-identical to the DuckDB
+    oracle: l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in 1..len-2."""
+    l = F.split(F.col(text_col), " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(l) - k + 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(l, i + j) for j in range(k)]
+        ),
+    )
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(text_sha256, n_docs, keeper): keeper = min id per identical text."""
+    return (
+        docs.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("text_sha256"))
+        .groupBy("text_sha256")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keeper"),
+        )
+    )
+
+
+def minhash_bands(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bands: int = N_BANDS
+) -> DataFrame:
+    """(id, band, minhash): minhash = min over shingles of md5('band:shingle').
+
+    One md5 per (shingle, band) inside codegen; the group-by shuffles only
+    (id, band) pairs. Lexicographic min over hex digests is a valid uniform
+    minhash."""
+    sh = docs.select(
+        F.col(id_col), F.explode(_shingles(text_col)).alias("sh")
+    )
+    bands = sh.crossJoin(
+        docs.sparkSession.range(n_bands).select(F.col("id").cast("int").alias("band"))
+    )
+    return bands.groupBy(id_col, "band").agg(
+        F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("sh")))).alias(
+            "minhash"
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bands: int = N_BANDS
+) -> DataFrame:
+    """Distinct (id_a, id_b) pairs sharing at least one band bucket, id_a < id_b.
+    The join key is (band, minhash) — bucket-local, never all-pairs."""
+    mb = minhash_bands(docs, id_col, text_col, n_bands)
+    a = mb.select(F.col(id_col).alias("id_a"), "band", "minhash")
+    b = mb.select(F.col(id_col).alias("id_b"), "band", "minhash")
+    return (
+        a.join(b, on=["band", "minhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verify candidate pairs by word-3-shingle Jaccard; emits
+    (id_a, id_b, jaccard) for pairs >= threshold. Shingle sets are
+    array_distinct'ed so this is true set-Jaccard."""
+    sets = docs.select(
+        F.col(id_col), F.array_distinct(_shingles(text_col)).alias("sh_set")
+    )
+    j = (
+        pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh_set", "set_a"), "id_a")
+        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh_set", "set_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("set_a", "set_b"))
+                / F.greatest(F.size(F.array_union("set_a", "set_b")), F.lit(1)),
+                4,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (xxhash64 token hashes; per-bit
+    majority vote). Bit arithmetic stays in Catalyst: for each bit position a
+    token votes +1/-1 by (hash >> bit) & 1; the sign vector re-assembles into
+    one long. Emits (id, simhash, band16) where band16 splits the 64 bits into
+    four 16-bit bands for blocking."""
+    toks = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    h = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = h.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    out = agg.select(F.col(id_col), sim.alias("simhash"))
+    bands = [
+        F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"band16_{i}")
+        for i in range(4)
+    ]
+    return out.select(id_col, "simhash", *bands)

@@ -1,0 +1,131 @@
+"""Similarity search over an embedding column (array<float>).
+
+- cosine_topk: brute-force baseline — broadcast the (small) query set, one
+  pass over the corpus, per-query top-k via window. The dot product runs in
+  Catalyst higher-order functions (zip_with + aggregate), all doubles, fixed
+  left-to-right summation so results are bit-reproducible (and match the
+  DuckDB oracle's list_dot_product on DOUBLE[]).
+- IVF (scale path): assign each vector to its nearest of C centroids
+  (coarse quantizer); search probes only the query's nprobe nearest
+  centroid buckets, turning all-pairs into bucket-local joins. Centroids are
+  taken deterministically (first C vectors by id) — at real scale you'd feed
+  k-means centroids in; the partitioning/plumbing is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_sim(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, vec_id, rank, sim): top-k cosine neighbors per query vector.
+    Queries are broadcast; ties break on neighbor id (deterministic)."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qe")
+    )
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("e"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("qid"))
+        .withColumn("sim", cosine_sim(F.col("qe"), F.col("e")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, centroid_id): nearest-centroid bucket per vector. Centroids =
+    the first n_centroids vectors by id (deterministic); broadcast."""
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("ce"))
+    )
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("e"))
+    scored = c.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", cosine_sim(F.col("ce"), F.col("e"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("cid").alias("centroid_id"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's nprobe nearest
+    centroid buckets. The corpus-side join key is centroid_id, so the search
+    is bucket-local — the 100 TB scale path."""
+    assign = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    bucketed = corpus.join(assign, id_col)
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("ce"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qe")
+    )
+    qprobe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("csim", cosine_sim(F.col("qe"), F.col("ce")))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cid")))
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qe", F.col("cid").alias("centroid_id"))
+    )
+    scored = (
+        bucketed.join(F.broadcast(qprobe), on="centroid_id")
+        .filter(F.col(id_col) != F.col("qid"))
+        .withColumn("sim", cosine_sim(F.col("qe"), _as_double(F.col(vec_col))))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "rank", F.round("sim", 4).alias("sim"))
+    )

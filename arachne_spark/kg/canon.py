@@ -1,0 +1,89 @@
+"""Stage C — canonicalization: alias-graph connected components with
+deterministic min-IRI selection (SURVEY §7.0 step C).
+
+Distributed connected components by iterative min-label propagation with
+pointer doubling (the log-round CC-in-MapReduce family — label(v) first takes
+the min over neighbors, then label(label(v)) short-circuits chains), entirely
+in DataFrame ops:
+
+    round:  lab'(v)  = min(lab(v), min_{(v,u) in E} lab(u))     # propagate
+            lab''(v) = lab'(lab'(v))                            # double
+    until no label changes.
+
+Rounds = O(log diameter). The component representative is the lexicographic
+minimum member — the deterministic "min canonical IRI" selection the north
+star requires (no RNG, no nondeterministic aggregation order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """edges -> (vertex, component) where component = min member id/IRI."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    lab = (
+        sym.select(F.col("a").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # propagate: min over neighbors' labels
+        nb = (
+            sym.join(lab, sym["b"] == lab["v"])
+            .select(F.col("a").alias("v"), F.col("lab"))
+        )
+        lab1 = (
+            lab.unionByName(nb)
+            .groupBy("v")
+            .agg(F.min("lab").alias("lab"))
+        )
+        # pointer doubling: lab(lab(v))
+        l2 = lab1.select(F.col("v").alias("v2"), F.col("lab").alias("lab2"))
+        lab2 = (
+            lab1.join(l2, lab1["lab"] == l2["v2"], "left")
+            .select(
+                F.col("v"),
+                F.least(F.col("lab"), F.coalesce(F.col("lab2"), F.col("lab"))).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            lab2.alias("n")
+            .join(lab.alias("o"), F.col("n.v") == F.col("o.v"))
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        lab = lab2
+        if changed == 0:
+            break
+    return lab.select(F.col("v").alias("vertex"), F.col("lab").alias("component"))
+
+
+def canonicalize(entity_dict: DataFrame) -> DataFrame:
+    """Aliases sharing a canonical_iri, and canonical_iris sharing an alias,
+    collapse into one cluster; the representative IRI is the minimum
+    canonical_iri in the cluster. Returns (canonical_iri, canonical) mapping
+    every dictionary IRI to its cluster representative."""
+    # bipartite alias<->iri edges; prefix vertices to keep the namespaces apart
+    edges = entity_dict.select(
+        F.concat(F.lit("a:"), F.col("alias")).alias("src"),
+        F.concat(F.lit("i:"), F.col("canonical_iri")).alias("dst"),
+    )
+    cc = connected_components(edges)
+    iris = cc.filter(F.col("vertex").startswith("i:")).select(
+        F.expr("substring(vertex, 3)").alias("canonical_iri"),
+        F.col("component"),
+    )
+    # representative = min IRI within the component (strip the i:/a: prefix
+    # ordering problem by re-aggregating over IRIs only)
+    rep = iris.groupBy("component").agg(F.min("canonical_iri").alias("canonical"))
+    return iris.join(rep, "component").select("canonical_iri", "canonical")

@@ -22,6 +22,13 @@ def build_session(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
+    # Python workers (pandas UDF / mapInPandas) must import arachne_spark no
+    # matter the driver's cwd; on a real cluster this is spark-submit
+    # --py-files, locally it's PYTHONPATH inheritance.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

@@ -1,0 +1,155 @@
+"""KG-construction front end: extraction (with sha256 invariant), linking,
+connected-components canonicalization, end-to-end pipeline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from arachne_spark.kg import (
+    canonicalize,
+    connected_components,
+    extract_mentions,
+    gen_code_files,
+    gen_entity_dict,
+    link_mentions,
+)
+from arachne_spark.kg.pipeline import build_triples, materialize_kg
+from arachne_spark.owlrl import owl_rl_core
+from arachne_spark.rules import RuleSet, load_rules_json
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return gen_code_files(spark, 300).cache()
+
+
+@pytest.fixture(scope="module")
+def edict(spark):
+    return gen_entity_dict(spark).cache()
+
+
+def test_datagen_deterministic(spark, corpus):
+    again = gen_code_files(spark, 300)
+    a = {tuple(r) for r in corpus.collect()}
+    b = {tuple(r) for r in again.collect()}
+    assert a == b
+    # Zipf skew: the head repo holds many more files than the tail
+    counts = dict(
+        corpus.groupBy("repo").count().orderBy(F.desc("count")).limit(1).collect()[0].asDict()
+        for _ in [0]
+    )
+    top = corpus.groupBy("repo").count().agg(F.max("count")).collect()[0][0]
+    n_repos = corpus.select("repo").distinct().count()
+    assert top > 300 / n_repos * 2  # clearly skewed
+
+
+def test_extract_sha256_invariant(spark, corpus):
+    """Per-row invariant (BASELINE.json input_hint): the sha256 the extractor
+    computes inside the Arrow batch must equal an independent F.sha2 over the
+    source table, for every file that produced mentions."""
+    mentions = extract_mentions(corpus)
+    src = corpus.select(
+        "repo", "path", "commit", F.sha2("content", 256).alias("expect_sha")
+    )
+    j = (
+        mentions.select("repo", "path", "commit", "content_sha256")
+        .distinct()
+        .join(src, on=["repo", "path", "commit"], how="inner")
+    )
+    assert j.count() > 0
+    assert j.filter(F.col("content_sha256") != F.col("expect_sha")).count() == 0
+
+
+def test_extract_ground_truth(spark, corpus):
+    """File 0 is python: class Class_0(Class_3): def Func_0... import module_0,
+    call Func_5 — extraction must find exactly these mentions."""
+    m = extract_mentions(corpus.filter(F.col("path") == "src/pkg_0/mod_0.py"))
+    got = {(r["mention"], r["mention_kind"]) for r in m.collect()}
+    assert got == {
+        ("Class_0", "class_def"),
+        ("Class_3", "extends"),
+        ("Func_0", "func_def"),
+        ("module_0", "import"),
+        ("Func_5", "call"),
+    }
+
+
+def test_link_exact_and_fuzzy(spark, edict):
+    mentions = spark.createDataFrame(
+        [
+            ("r", "p", "c", "python", "sha", "Class_7", "class_def"),
+            ("r", "p", "c", "python", "sha", "class_7", "class_def"),  # case variant
+            ("r", "p", "c", "python", "sha", "NoSuchEntity_99x", "class_def"),
+        ],
+        "repo string, path string, commit string, lang string, content_sha256 string, mention string, mention_kind string",
+    )
+    linked = link_mentions(mentions, edict)
+    rows = {r["mention"]: r["canonical_iri"] for r in linked.collect()}
+    assert rows.get("Class_7") == "http://example.org/code/class/Class_7"
+    assert rows.get("class_7") == "http://example.org/code/class/Class_7"
+    assert "NoSuchEntity_99x" not in rows
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("e", "d"), ("f", "f")],
+        "src string, dst string",
+    )
+    cc = connected_components(edges)
+    got = {(r["vertex"], r["component"]) for r in cc.collect()}
+    assert ("a", "a") in got and ("b", "a") in got and ("c", "a") in got
+    assert ("d", "d") in got and ("e", "d") in got
+    # self-loop-only vertex drops out (filtered a != b); fine for alias graphs
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    n = 64
+    edges = spark.createDataFrame(
+        [(f"v{i:03d}", f"v{i+1:03d}") for i in range(n)], "src string, dst string"
+    )
+    cc = connected_components(edges, max_iter=10)  # doubling: ~log2(64)+slack
+    comps = {r["component"] for r in cc.collect()}
+    assert comps == {"v000"}
+
+
+def test_canonicalize_clusters(spark, edict):
+    canon = canonicalize(edict)
+    # each canonical_iri maps to a representative; aliases like "class_7"
+    # belong to exactly one IRI so clusters stay singleton-per-IRI unless
+    # aliases collide. "Class_1".lower() == "class_1" only collides within
+    # the same IRI -> representative == itself.
+    row = canon.filter(
+        F.col("canonical_iri") == "http://example.org/code/class/Class_7"
+    ).collect()
+    assert len(row) == 1
+
+
+def test_pipeline_end_to_end(spark, corpus, edict, tmp_path):
+    rules = load_rules_json(
+        [
+            {
+                "name": "call-dep",
+                "body": [
+                    ["?f", "http://example.org/code/definesFunction", "?fn"],
+                    ["?g", "http://example.org/code/calls", "?fn"],
+                ],
+                "head": [["?g", "http://example.org/code/dependsOn", "?f"]],
+            },
+            {
+                "name": "extends-trans",
+                "body": [
+                    ["?a", "http://example.org/code/extends", "?b"],
+                    ["?b", "http://example.org/code/extends", "?c"],
+                ],
+                "head": [["?a", "http://example.org/code/extends", "?c"]],
+            },
+        ]
+    )
+    res = materialize_kg(
+        corpus, edict, rules, checkpoint_dir=str(tmp_path / "kg_ckpt")
+    )
+    assert res.facts_count > 0
+    dep = res.facts.filter(
+        F.col("p") == "<http://example.org/code/dependsOn>"
+    ).count()
+    assert dep > 0
+    assert (tmp_path / "kg_ckpt" / "metrics.jsonl").exists()
