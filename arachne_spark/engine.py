@@ -199,6 +199,36 @@ class FixpointEngine:
         facts = asserted.distinct().localCheckpoint(eager=True)
         return self._run(facts, asserted, round0=0, prior_metrics=[], derivations=None)
 
+    def incremental(
+        self, prev: FixpointResult, new_triples: DataFrame
+    ) -> FixpointResult:
+        """Insert-only incremental maintenance: new asserted triples seed the
+        delta against an ALREADY-materialized store — the reuse pattern the
+        reference's Rete gives for free (new triples re-enter the same
+        network, README.md:9; SURVEY §2.6 streaming note). Semi-naive rounds
+        then close the gap; unchanged facts are never recomputed."""
+        spo = list(TRIPLE_COLS)
+        delta = (
+            new_triples.select(*spo)
+            .distinct()
+            .join(prev.facts, on=spo, how="left_anti")
+            .localCheckpoint(eager=True)
+        )
+        d = delta.count()
+        facts = prev.facts.unionByName(delta).localCheckpoint(eager=True)
+        base = prev.facts_count + d
+        m0 = RoundMetrics(0, 0, d, base, 0.0, 0, 0, [])
+        res = self._run(
+            facts,
+            prev.asserted.unionByName(new_triples.select(*spo)),
+            round0=0,
+            prior_metrics=[m0],
+            derivations=prev.derivations,
+            delta0=delta,
+            facts_old0=prev.facts,
+        )
+        return res
+
     def resume(self, asserted: DataFrame) -> FixpointResult:
         """Restart from the last completed round under ``checkpoint_dir``."""
         if not self.checkpoint_dir:
@@ -266,12 +296,12 @@ class FixpointEngine:
         # (variant skipping) and per-partition lineage (metrics) together
         delta_preds, delta_total, delta_lineage = self._delta_stats(delta)
         facts_count = (
-            delta_total
-            if round0 == 0
-            else (prior_metrics[-1].facts_total if prior_metrics else facts.count())
+            prior_metrics[-1].facts_total
+            if prior_metrics
+            else (delta_total if round0 == 0 and delta0 is None else facts.count())
         )
-        if round0 == 0:
-            m0 = RoundMetrics(0, 0, facts_count, facts_count, 0.0, 0, 0, delta_lineage)
+        if round0 == 0 and not prior_metrics:
+            m0 = RoundMetrics(0, 0, delta_total, facts_count, 0.0, 0, 0, delta_lineage)
             prior_metrics = [m0]
             self._write_round(0, delta, m0)
         metrics = list(prior_metrics)
@@ -292,6 +322,16 @@ class FixpointEngine:
                 r["p"]: r["cnt"]
                 for r in facts.groupBy("p").agg(F.count("*").alias("cnt")).collect()
             }
+        # facts-as-of-previous-round predicate counts (variant pruning): in
+        # the first round facts_old is empty, so only the last delta variant
+        # of every rule can produce anything
+        pred_totals_old: dict[str, int] = (
+            {} if facts_old0 is None else {
+                r["p"]: r["cnt"]
+                for r in facts_old.groupBy("p").agg(F.count("*").alias("cnt")).collect()
+            }
+        )
+        facts_old_total = sum(pred_totals_old.values())
 
         rnd = round0
         while rnd < self.max_rounds:
@@ -315,6 +355,17 @@ class FixpointEngine:
                 for i in range(k):
                     cp = cps[i]
                     if cp is not None and cp not in delta_preds:
+                        variants_skipped += 1
+                        continue
+                    # variant pruning against facts_old (positions j > i):
+                    # provably-empty slices mean the whole variant is empty
+                    if i < k - 1 and (
+                        facts_old_total == 0
+                        or any(
+                            cps[j] is not None and pred_totals_old.get(cps[j], 0) == 0
+                            for j in range(i + 1, k)
+                        )
+                    ):
                         variants_skipped += 1
                         continue
                     dfs = [
@@ -371,6 +422,8 @@ class FixpointEngine:
             if delta_out == 0:
                 break
 
+            pred_totals_old = dict(pred_totals)
+            facts_old_total = sum(pred_totals_old.values())
             for row_p, cnt in new_preds.items():
                 pred_totals[row_p] = pred_totals.get(row_p, 0) + cnt
             delta_preds, delta_total = new_preds, delta_out

