@@ -151,6 +151,16 @@ class FixpointEngine:
         self.max_rounds = max_rounds
         # precompute per-rule structure
         self._rules = list(ruleset)
+        # const-(p,o) gate atoms across the rule set: the alpha memories whose
+        # emptiness is tracked per round (e.g. (?p rdf:type owl:TransitiveProperty))
+        self._gate_pairs = sorted(
+            {
+                (a[1], a[2])
+                for r in self._rules
+                for a in r.body
+                if isinstance(a[1], str) and isinstance(a[2], str)
+            }
+        )
 
     # -- alpha sharing (C2/O4): memoize the FILTER stage per (df, blanked
     # signature); the variable projection is applied per atom, mirroring the
@@ -162,35 +172,61 @@ class FixpointEngine:
             cache[key] = alpha_filter(df, atom)
         return bind_vars(cache[key], atom)
 
-    @staticmethod
-    def _delta_stats(delta: DataFrame) -> tuple[dict[str, int], int, list[int]]:
-        """One job -> (per-predicate counts, total, per-partition lineage).
+    def _delta_stats(self, delta: DataFrame) -> tuple[dict, int, list[int]]:
+        """One job -> (alpha counts, total, per-partition lineage).
 
-        Predicate counts drive variant skipping (the unlinking analogue,
-        O5/R7/R8); the partition histogram is the per-partition lineage the
-        north rule asks for in round metrics. The number of distinct
-        predicates is ontology-bounded (small), so collecting is safe.
+        Alpha counts drive rule/variant skipping — the Rete left/right
+        unlinking analogue (O5/R7/R8, ReteNodes.scala:88-93,153-158): a key
+        ("p", p) counts rows per predicate, and a key ("po", p, o) counts the
+        const-(p,o) gate atoms the rule set actually contains (e.g.
+        (?p rdf:type owl:SymmetricProperty)) — exactly the alpha memories
+        whose emptiness lets whole rules be skipped without launching a
+        single job. The partition histogram is the per-partition lineage the
+        north rule asks for. Key cardinality is rule-set/ontology-bounded.
         """
+        if self._gate_pairs:
+            gate = reduce(
+                lambda a, b: a | b,
+                [
+                    (F.col("p") == p) & (F.col("o") == o)
+                    for (p, o) in self._gate_pairs
+                ],
+            )
+            gate_o = F.when(gate, F.col("o"))
+        else:
+            gate_o = F.lit(None).cast("string")
         rows = (
-            delta.groupBy(F.spark_partition_id().alias("pid"), F.col("p"))
+            delta.groupBy(
+                F.spark_partition_id().alias("pid"), F.col("p"), gate_o.alias("go")
+            )
             .agg(F.count("*").alias("cnt"))
             .collect()
         )
-        preds: dict[str, int] = {}
+        counts: dict = {}
         lineage: dict[int, int] = {}
         for r in rows:
-            preds[r["p"]] = preds.get(r["p"], 0) + r["cnt"]
+            k = ("p", r["p"])
+            counts[k] = counts.get(k, 0) + r["cnt"]
+            if r["go"] is not None:
+                kk = ("po", r["p"], r["go"])
+                counts[kk] = counts.get(kk, 0) + r["cnt"]
             lineage[r["pid"]] = lineage.get(r["pid"], 0) + r["cnt"]
-        total = sum(preds.values())
-        return preds, total, [lineage[k] for k in sorted(lineage)]
+        total = sum(v for (tag, *_), v in counts.items() if tag == "p")
+        return counts, total, [lineage[k] for k in sorted(lineage)]
 
     @staticmethod
-    def _const_preds(rule: Rule) -> list[Optional[str]]:
-        out = []
-        for atom in rule.body:
-            p = atom[1]
-            out.append(p if isinstance(p, str) else None)
-        return out
+    def _atom_key(atom) -> Optional[tuple]:
+        """The alpha-count key this atom's emptiness can be checked against."""
+        p, o = atom[1], atom[2]
+        p_const, o_const = isinstance(p, str), isinstance(o, str)
+        if p_const and o_const:
+            return ("po", p, o)
+        if p_const:
+            return ("p", p)
+        return None
+
+    def _rule_keys(self, rule: Rule) -> list[Optional[tuple]]:
+        return [self._atom_key(a) for a in rule.body]
 
     def materialize(self, asserted: DataFrame) -> FixpointResult:
         """Run to least fixpoint (processTriples, RuleEngine.scala:50-65)."""
@@ -314,24 +350,19 @@ class FixpointEngine:
                 ),
             )
 
-        # driver-side total predicate counts (for whole-rule skip, O5/R7/R8)
+        # driver-side alpha counts for facts (whole-rule skip, O5/R7/R8)
         if round0 == 0 and delta0 is None:
-            pred_totals: dict[str, int] = dict(delta_preds)
+            totals: dict = dict(delta_preds)
         else:
-            pred_totals = {
-                r["p"]: r["cnt"]
-                for r in facts.groupBy("p").agg(F.count("*").alias("cnt")).collect()
-            }
-        # facts-as-of-previous-round predicate counts (variant pruning): in
-        # the first round facts_old is empty, so only the last delta variant
-        # of every rule can produce anything
-        pred_totals_old: dict[str, int] = (
-            {} if facts_old0 is None else {
-                r["p"]: r["cnt"]
-                for r in facts_old.groupBy("p").agg(F.count("*").alias("cnt")).collect()
-            }
-        )
-        facts_old_total = sum(pred_totals_old.values())
+            totals, _, _ = self._delta_stats(facts)
+        # facts-as-of-previous-round counts (variant pruning): in the first
+        # round facts_old is empty, so only the last delta variant of every
+        # rule can produce anything
+        if facts_old0 is None:
+            totals_old: dict = {}
+            facts_old_total = 0
+        else:
+            totals_old, facts_old_total, _ = self._delta_stats(facts_old)
 
         rnd = round0
         while rnd < self.max_rounds:
@@ -345,16 +376,17 @@ class FixpointEngine:
             rules_skipped = 0
             variants_skipped = 0
             for rule in self._rules:
-                cps = self._const_preds(rule)
-                # whole-rule skip: a const-predicate atom with zero facts at all
-                if any(cp is not None and pred_totals.get(cp, 0) == 0 for cp in cps):
+                keys = self._rule_keys(rule)
+                # whole-rule skip: an alpha memory (const p / const (p,o) atom)
+                # with zero matching facts overall
+                if any(kk is not None and totals.get(kk, 0) == 0 for kk in keys):
                     rules_skipped += 1
                     continue
                 k = len(rule.body)
                 rule_fired = False
                 for i in range(k):
-                    cp = cps[i]
-                    if cp is not None and cp not in delta_preds:
+                    kk = keys[i]
+                    if kk is not None and delta_preds.get(kk, 0) == 0:
                         variants_skipped += 1
                         continue
                     # variant pruning against facts_old (positions j > i):
@@ -362,7 +394,7 @@ class FixpointEngine:
                     if i < k - 1 and (
                         facts_old_total == 0
                         or any(
-                            cps[j] is not None and pred_totals_old.get(cps[j], 0) == 0
+                            keys[j] is not None and totals_old.get(keys[j], 0) == 0
                             for j in range(i + 1, k)
                         )
                     ):
@@ -422,10 +454,10 @@ class FixpointEngine:
             if delta_out == 0:
                 break
 
-            pred_totals_old = dict(pred_totals)
-            facts_old_total = sum(pred_totals_old.values())
-            for row_p, cnt in new_preds.items():
-                pred_totals[row_p] = pred_totals.get(row_p, 0) + cnt
+            totals_old = dict(totals)
+            facts_old_total = sum(v for (tag, *_), v in totals_old.items() if tag == "p")
+            for kk, cnt in new_preds.items():
+                totals[kk] = totals.get(kk, 0) + cnt
             delta_preds, delta_total = new_preds, delta_out
 
             facts_old = facts

@@ -54,12 +54,17 @@ def link_mentions(
         _norm(F.col("mention")) == F.col("alias_norm"),
         "inner",
     ).withColumn("score", link_score(F.col("mention"), F.col("alias"), F.col("prior")))
-    w = Window.partitionBy("repo", "path", "commit", "mention", "mention_kind").orderBy(
-        F.col("score").desc(), F.col("canonical_iri")
-    )
+    # best candidate per mention via min_by on (-score, canonical_iri): one
+    # hash aggregation with map-side partial combine — cheaper than a sort
+    # window, same deterministic semantics (max score, ties -> min IRI)
+    keys = ["repo", "path", "commit", "lang", "content_sha256", "mention", "mention_kind"]
+    best = F.min_by(
+        F.struct("canonical_iri", "kind", "alias", "prior", "score"),
+        F.struct((-F.col("score")).alias("ns"), F.col("canonical_iri").alias("ci")),
+    ).alias("best")
     return (
         cand.filter(F.col("score") >= min_score)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "alias_norm")
+        .groupBy(*keys)
+        .agg(best)
+        .select(*keys, "best.canonical_iri", "best.kind", "best.alias", "best.prior", "best.score")
     )
