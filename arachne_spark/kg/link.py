@@ -2,17 +2,19 @@
 
 Mentions are scored against a broadcast entity dictionary. The candidate
 generation is a broadcast hash join on a normalized alias key (JVM-side,
-codegen'd); the scoring is a vectorized pandas UDF (Arrow batches, no per-row
-Python — input_hint) combining the dictionary prior with a character-bigram
-Jaccard similarity between the raw mention and the alias surface form; the
-best candidate per mention wins via one window (deterministic tie-break on
-canonical_iri).
+codegen'd); the scoring combines the dictionary prior with a character-bigram
+Jaccard similarity between the raw mention and the alias surface form. The
+default scorer is a pure column expression (whole-stage codegen, zero Python
+workers in the hot path); `link_score` is the equivalent Arrow-batched pandas
+UDF, kept for the UDF-surface parity evidence and differential-tested against
+the expression form. The best candidate per mention wins via one min_by hash
+aggregation (deterministic tie-break on canonical_iri).
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -35,6 +37,27 @@ def link_score(mention: pd.Series, alias: pd.Series, prior: pd.Series) -> pd.Ser
     return 0.7 * jac + 0.3 * prior.astype(float)
 
 
+def _bigram_set(c: Column) -> Column:
+    """Distinct character bigrams of lower(c) as an array — pure expression.
+    Matches `_bigrams`: a string shorter than 2 chars yields {itself}."""
+    lc = F.lower(c)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(lc) - 1, F.lit(1))),
+            lambda i: lc.substr(i, F.lit(2)),
+        )
+    )
+    return F.when(F.length(lc) < 2, F.array(lc)).otherwise(grams)
+
+
+def link_score_expr(mention: Column, alias: Column, prior: Column) -> Column:
+    """Same score as `link_score`, as a Catalyst expression (codegen'd)."""
+    mg, ag = _bigram_set(mention), _bigram_set(alias)
+    inter = F.size(F.array_intersect(mg, ag)).cast("double")
+    union = F.greatest(F.size(F.array_union(mg, ag)), F.lit(1)).cast("double")
+    return 0.7 * (inter / union) + 0.3 * prior.cast("double")
+
+
 def _norm(c):
     return F.translate(F.lower(c), "_", "")
 
@@ -43,17 +66,21 @@ def link_mentions(
     mentions: DataFrame,
     entity_dict: DataFrame,
     min_score: float = 0.5,
+    use_pandas_udf: bool = False,
 ) -> DataFrame:
     """mentions x broadcast(dict) -> best (mention, canonical_iri, kind, score).
 
     The dictionary is the small side — broadcast explicitly so the join never
     shuffles the (huge) mention table (SURVEY O8: broadcast the ontology-
-    derived side tables)."""
+    derived side tables). Scoring is a codegen'd column expression by default;
+    ``use_pandas_udf=True`` selects the equivalent Arrow-batched pandas UDF
+    (differential-tested to produce identical scores)."""
+    scorer = link_score if use_pandas_udf else link_score_expr
     cand = mentions.join(
         F.broadcast(entity_dict.withColumn("alias_norm", _norm(F.col("alias")))),
         _norm(F.col("mention")) == F.col("alias_norm"),
         "inner",
-    ).withColumn("score", link_score(F.col("mention"), F.col("alias"), F.col("prior")))
+    ).withColumn("score", scorer(F.col("mention"), F.col("alias"), F.col("prior")))
     # best candidate per mention via min_by on (-score, canonical_iri): one
     # hash aggregation with map-side partial combine — cheaper than a sort
     # window, same deterministic semantics (max score, ties -> min IRI)

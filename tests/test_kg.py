@@ -106,9 +106,38 @@ def test_connected_components_long_chain_log_rounds(spark):
     edges = spark.createDataFrame(
         [(f"v{i:03d}", f"v{i+1:03d}") for i in range(n)], "src string, dst string"
     )
-    cc = connected_components(edges, max_iter=10)  # doubling: ~log2(64)+slack
+    # force the distributed path (the 100 TB code path): doubling ~log2(64)+slack
+    cc = connected_components(edges, max_iter=10, driver_threshold=0)
     comps = {r["component"] for r in cc.collect()}
     assert comps == {"v000"}
+
+
+def test_connected_components_driver_vs_distributed(spark, edict):
+    """The union-find fast path and the min-label-propagation loop must give
+    identical (vertex, component) assignments on the alias graph."""
+    edges = edict.select(
+        F.concat(F.lit("a:"), F.col("alias")).alias("src"),
+        F.concat(F.lit("i:"), F.col("canonical_iri")).alias("dst"),
+    )
+    fast = {(r["vertex"], r["component"]) for r in connected_components(edges).collect()}
+    dist = {
+        (r["vertex"], r["component"])
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert fast == dist
+
+
+def test_link_scorer_expr_matches_pandas_udf(spark, edict):
+    """The codegen'd column-expression scorer is differential-tested against
+    the Arrow-batched pandas UDF: identical best candidates + scores."""
+    mentions = extract_mentions(gen_code_files(spark, 500)).localCheckpoint(eager=True)
+    key = ["repo", "path", "mention", "mention_kind"]
+    a = link_mentions(mentions, edict, use_pandas_udf=False).orderBy(*key).collect()
+    b = link_mentions(mentions, edict, use_pandas_udf=True).orderBy(*key).collect()
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x["canonical_iri"] == y["canonical_iri"]
+        assert abs(x["score"] - y["score"]) < 1e-9
 
 
 def test_canonicalize_clusters(spark, edict):
