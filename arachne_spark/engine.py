@@ -140,14 +140,21 @@ class FixpointEngine:
         *,
         store_derivations: bool = False,
         checkpoint_dir: Optional[str] = None,
-        checkpoint_every: int = 1,
+        facts_refresh: int = 8,
+        broadcast_rows: int = 200_000,
         max_rounds: int = 10_000,
     ) -> None:
         self.spark = spark
         self.ruleset = ruleset
         self.store_derivations = store_derivations
         self.checkpoint_dir = checkpoint_dir
-        self.checkpoint_every = checkpoint_every
+        # re-checkpoint the accumulated facts union every N rounds (bounds
+        # plan width on deep fixpoints; individual deltas are always
+        # checkpointed, so lineage depth is bounded regardless)
+        self.facts_refresh = facts_refresh
+        # derived sets at or below this row count dedup against facts via
+        # broadcast semi/anti passes instead of a full facts shuffle
+        self.broadcast_rows = broadcast_rows
         self.max_rounds = max_rounds
         # precompute per-rule structure
         self._rules = list(ruleset)
@@ -417,11 +424,27 @@ class FixpointEngine:
 
             if derived_parts:
                 derived = reduce(DataFrame.unionByName, derived_parts)
-                new_delta = (
-                    derived.distinct()
-                    .join(facts, on=spo, how="left_anti")
-                    .localCheckpoint(eager=True)
-                )
+                # Dedup new heads, then subtract known facts. The derived set
+                # is distinct'd and checkpointed FIRST so the driver can pick
+                # the anti-join physical by its actual size: small derived →
+                # two broadcast passes that stream facts map-only (semi to
+                # find already-known triples, anti against that small set)
+                # instead of shuffling the entire facts store; large derived →
+                # plain shuffled left_anti. Late fixpoint rounds have tiny
+                # deltas, so this turns their cost from O(|facts| shuffle)
+                # into O(|facts| scan).
+                dd = derived.distinct().localCheckpoint(eager=True)
+                if dd.count() <= self.broadcast_rows:
+                    seen = facts.join(
+                        F.broadcast(dd), on=spo, how="left_semi"
+                    ).localCheckpoint(eager=True)
+                    new_delta = dd.join(
+                        F.broadcast(seen), on=spo, how="left_anti"
+                    ).localCheckpoint(eager=True)
+                else:
+                    new_delta = dd.join(facts, on=spo, how="left_anti").localCheckpoint(
+                        eager=True
+                    )
             else:
                 new_delta = empty_triples(spark).localCheckpoint(eager=True)
             new_preds, delta_out, lineage = self._delta_stats(new_delta)
@@ -461,14 +484,19 @@ class FixpointEngine:
             delta_preds, delta_total = new_preds, delta_out
 
             facts_old = facts
-            facts = facts.unionByName(new_delta)
-            # Checkpointing the union every round gives every relation handle
-            # fresh attribute ids. Without it, the delta's LogicalRDD node
-            # appears both inside the facts union and as the delta relation of
-            # the next round's joins, which trips Spark 4.1's relation
-            # deduplication ("key not found: attr") on var-predicate rule
-            # shapes. It also hands AQE exact facts statistics each round.
-            if (rnd - round0) % self.checkpoint_every == 0:
+            # The delta must not appear as the SAME LogicalRDD both inside the
+            # facts union and as the join-side delta relation — that trips
+            # Spark 4.1's relation deduplication ("key not found: attr") on
+            # var-predicate rule shapes. A second localCheckpoint of the
+            # (already materialized) delta is an O(|delta|) in-memory copy
+            # with fresh attribute ids — far cheaper than re-checkpointing
+            # the whole facts store every round, and keeps facts a union of
+            # per-round checkpointed components (bounded lineage, exact AQE
+            # sizes summing across components). Every `facts_refresh` rounds
+            # the union itself is re-checkpointed to bound plan width on deep
+            # fixpoints.
+            facts = facts.unionByName(new_delta.localCheckpoint(eager=True))
+            if (rnd - round0) % self.facts_refresh == 0:
                 facts = facts.localCheckpoint(eager=True)
             delta = new_delta
 

@@ -76,22 +76,37 @@ def link_mentions(
     ``use_pandas_udf=True`` selects the equivalent Arrow-batched pandas UDF
     (differential-tested to produce identical scores)."""
     scorer = link_score if use_pandas_udf else link_score_expr
-    cand = mentions.join(
+    # Score the VOCABULARY, not the corpus: the best candidate for a mention
+    # depends only on the mention string, and distinct mention strings are
+    # dictionary-scale (identifiers repeat massively in any code corpus),
+    # so candidate generation + scoring + best-selection run over the tiny
+    # distinct set. Map-side partial aggregation shrinks the vocab shuffle
+    # to ~|vocab| rows per partition; the resolved table then broadcast-joins
+    # back onto the full mention stream — the 10^12-row side is never
+    # shuffled at all.
+    vocab = mentions.select("mention").distinct()
+    pairs = vocab.join(
         F.broadcast(entity_dict.withColumn("alias_norm", _norm(F.col("alias")))),
         _norm(F.col("mention")) == F.col("alias_norm"),
         "inner",
     ).withColumn("score", scorer(F.col("mention"), F.col("alias"), F.col("prior")))
-    # best candidate per mention via min_by on (-score, canonical_iri): one
-    # hash aggregation with map-side partial combine — cheaper than a sort
-    # window, same deterministic semantics (max score, ties -> min IRI)
+    # best candidate per mention via min_by on (-score, canonical_iri):
+    # deterministic (max score, ties -> min IRI)
+    best = (
+        pairs.filter(F.col("score") >= min_score)
+        .groupBy("mention")
+        .agg(
+            F.min_by(
+                F.struct("canonical_iri", "kind", "alias", "prior", "score"),
+                F.struct((-F.col("score")).alias("ns"), F.col("canonical_iri").alias("ci")),
+            ).alias("best")
+        )
+        .select("mention", "best.canonical_iri", "best.kind", "best.alias", "best.prior", "best.score")
+    )
     keys = ["repo", "path", "commit", "lang", "content_sha256", "mention", "mention_kind"]
-    best = F.min_by(
-        F.struct("canonical_iri", "kind", "alias", "prior", "score"),
-        F.struct((-F.col("score")).alias("ns"), F.col("canonical_iri").alias("ci")),
-    ).alias("best")
-    return (
-        cand.filter(F.col("score") >= min_score)
-        .groupBy(*keys)
-        .agg(best)
-        .select(*keys, "best.canonical_iri", "best.kind", "best.alias", "best.prior", "best.score")
+    # extraction already dedups mentions per file batch, so the inner
+    # broadcast join preserves the old one-row-per-(file, mention, kind)
+    # contract without re-shuffling the corpus-side table
+    return mentions.join(F.broadcast(best), on="mention", how="inner").select(
+        *keys, "canonical_iri", "kind", "alias", "prior", "score"
     )
