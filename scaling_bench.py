@@ -168,13 +168,13 @@ def orchestrate(levels: list[int], reps: int, n_files: int) -> None:
             rec = json.loads(line[-1])
             rec["rep"] = rep
             runs.append(rec)
+            # append incrementally so a killed orchestration keeps its runs
+            with open("scaling_runs.jsonl", "a", encoding="utf-8") as f:
+                f.write(json.dumps(rec) + "\n")
             print(
                 f"cores={cores} rep={rep}: wall={rec['wall']}s "
                 f"tps={rec['triples_per_sec']} facts={rec['facts']}"
             )
-    with open("scaling_runs.jsonl", "w", encoding="utf-8") as f:
-        for r in runs:
-            f.write(json.dumps(r) + "\n")
 
     # correctness gate: identical facts + checksum everywhere
     counts = {(r["facts"], r["checksum"]) for r in runs}
