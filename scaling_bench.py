@@ -68,10 +68,11 @@ def run_level(cores: int, n_files: int) -> dict:
     from arachne_spark.rules import RuleSet
     from arachne_spark.session import build_session
 
+    mult = int(os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "2"))
     spark = build_session(
         f"scaling_{cores}",
         cores=cores,
-        shuffle_partitions=cores,
+        shuffle_partitions=cores * mult,
         extra={"spark.ui.showConsoleProgress": "false"},
     )
     t_all = time.time()
