@@ -389,6 +389,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_ivf_assign(spark, sf_dir):
         return ivf_assign(_t(spark, sf_dir, "embeddings"), n_centroids=8)
 
+    def ann_ivf_topk(spark, sf_dir):
+        from arachne_spark.functions.similarity import ivf_topk
+
+        emb = _t(spark, sf_dir, "embeddings")
+        return ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 5), k=5, n_centroids=8, nprobe=2
+        )
+
+    def dedup_simhash(spark, sf_dir):
+        from arachne_spark.functions.dedup import simhash
+
+        return simhash(_t(spark, sf_dir, "documents"))
+
+    def q4_anchored_descendants(spark, sf_dir):
+        """Q4 anchored: descendants of ONE node via broadcast frontier walk
+        (never materializes the global closure)."""
+        from arachne_spark.model import RDFS_SUBCLASSOF, encode_iri
+
+        sco = _tree_edges(spark, sf_dir).select(
+            _enc_id("n", F.col("src")).alias("s"),
+            F.lit(encode_iri(RDFS_SUBCLASSOF)).alias("p"),
+            _enc_id("n", F.col("dst")).alias("o"),
+        )
+        subs = Reasoner(sco).subclasses("n3")
+        return subs.select(_dec_id(F.col("cls")).alias("src"))
+
     def text_langid(spark, sf_dir):
         return langid(_t(spark, sf_dir, "documents"))
 
@@ -448,6 +474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "knn_bruteforce": knn_bruteforce,
         "ann_ivf_assign": ann_ivf_assign,
+        "ann_ivf_topk": ann_ivf_topk,
+        "dedup_simhash": dedup_simhash,
+        "q4_anchored_descendants": q4_anchored_descendants,
         "text_langid": text_langid,
         "text_quality": text_quality,
         "text_tokens": text_tokens,
@@ -499,6 +528,38 @@ scores AS (
    +(length(' '||text||' ') - length(replace(' '||text||' ',' 了 ','')))//3
    +(length(' '||text||' ') - length(replace(' '||text||' ',' 在 ','')))//3 AS s_zh
   FROM documents)"""
+
+
+def _simhash_sql() -> str:
+    """Generated per-bit-majority SimHash SQL, formula-identical to
+    functions/dedup.py::simhash (md5 halves, arithmetic shifts)."""
+    votes = ", ".join(
+        f"sum(CASE WHEN ((h_{'lo' if b < 32 else 'hi'} >> {b % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64)
+    )
+    # DuckDB rejects 1::BIGINT << 63 (signed overflow); the sign bit's term
+    # is the BIGINT minimum directly (same two's-complement value Spark's
+    # shiftleft(1L, 63) produces)
+    assemble = " | ".join(
+        [
+            f"(CASE WHEN b{b} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {b})"
+            for b in range(63)
+        ]
+        + ["(CASE WHEN b63 > 0 THEN (-9223372036854775807::BIGINT - 1) ELSE 0::BIGINT END)"]
+    )
+    bands = ", ".join(
+        f"((simhash >> {16 * i}) & 65535) AS band16_{i}" for i in range(4)
+    )
+    return (
+        "WITH t AS (SELECT doc_id, u.tok FROM "
+        " (SELECT doc_id, string_split(text, ' ') AS l FROM documents), UNNEST(l) AS u(tok)), "
+        "h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,8))::BIGINT AS h_hi, "
+        " ('0x'||substr(md5(tok),9,8))::BIGINT AS h_lo FROM t), "
+        f"v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id), "
+        f"s AS (SELECT doc_id, {assemble} AS simhash FROM v) "
+        f"SELECT doc_id, simhash, {bands} FROM s"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -586,6 +647,37 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT vec_id, cid, row_number() OVER "
             " (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s) "
             "SELECT vec_id, cid AS centroid_id FROM r WHERE rn = 1"
+        ),
+        "ann_ivf_topk": (
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] de FROM embeddings), "
+            "c AS (SELECT vec_id AS cid, de AS ce FROM e WHERE vec_id < 8), "
+            "s AS (SELECT e.vec_id, cid, list_dot_product(ce, de) / "
+            " (sqrt(list_dot_product(ce,ce)) * sqrt(list_dot_product(de,de))) AS sim FROM e, c), "
+            "a AS (SELECT vec_id, cid AS centroid_id FROM "
+            " (SELECT vec_id, cid, row_number() OVER "
+            "  (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM s) WHERE rn = 1), "
+            "q AS (SELECT vec_id AS qid, de AS qe FROM e WHERE vec_id < 5), "
+            "qp AS (SELECT qid, qe, cid AS centroid_id FROM "
+            " (SELECT qid, qe, cid, row_number() OVER "
+            "  (PARTITION BY qid ORDER BY csim DESC, cid) AS rn FROM "
+            "  (SELECT qid, qe, cid, list_dot_product(qe, ce) / "
+            "   (sqrt(list_dot_product(qe,qe)) * sqrt(list_dot_product(ce,ce))) AS csim "
+            "   FROM q, c)) WHERE rn <= 2), "
+            "sc AS (SELECT qid, e.vec_id, list_dot_product(qe, de) / "
+            " (sqrt(list_dot_product(qe,qe)) * sqrt(list_dot_product(de,de))) AS rawsim "
+            " FROM qp JOIN a ON a.centroid_id = qp.centroid_id "
+            " JOIN e ON e.vec_id = a.vec_id WHERE e.vec_id != qid), "
+            "rk AS (SELECT qid, vec_id, row_number() OVER "
+            " (PARTITION BY qid ORDER BY rawsim DESC, vec_id) AS rank, "
+            " round(rawsim, 4) AS sim FROM sc) "
+            "SELECT qid, vec_id, rank, sim FROM rk WHERE rank <= 5"
+        ),
+        "dedup_simhash": _simhash_sql(),
+        "q4_anchored_descendants": (
+            f"WITH RECURSIVE e AS ({_TREE_SQL}), "
+            "d AS (SELECT src FROM e WHERE dst = 3 "
+            " UNION SELECT e.src FROM e JOIN d ON e.dst = d.src) "
+            "SELECT src FROM d"
         ),
         "text_langid": (
             f"WITH {_LANGID_SCORES.lstrip()}, "

@@ -65,11 +65,16 @@ from arachne_spark.plans.compiler import (
     bind_vars,
     join_chain,
 )
-from arachne_spark.rules import Rule, RuleSet
+from arachne_spark.rules import Any_, Rule, RuleSet, Var
 
 TRIPLE_SCHEMA = T.StructType(
     [T.StructField(c, T.StringType(), False) for c in TRIPLE_COLS]
 )
+
+
+def _is_const(t) -> bool:
+    """Atom term is a constant — an encoded string OR a dictionary long id."""
+    return not isinstance(t, (Var, Any_))
 
 DERIVATION_COLS = ("s", "p", "o", "rule_name", "round")
 
@@ -165,8 +170,15 @@ class FixpointEngine:
                 (a[1], a[2])
                 for r in self._rules
                 for a in r.body
-                if isinstance(a[1], str) and isinstance(a[2], str)
+                if _is_const(a[1]) and _is_const(a[2])
             }
+        )
+        # constant predicates across rule bodies: the ONLY per-predicate keys
+        # rule/variant skipping ever consults (_atom_key), so the per-round
+        # stats collect is bounded by the RULE SET, not the data's predicate
+        # vocabulary (open RDF can have millions of distinct p)
+        self._gate_preds = sorted(
+            {a[1] for r in self._rules for a in r.body if _is_const(a[1])}
         )
 
     # -- alpha sharing (C2/O4): memoize the FILTER stage per (df, blanked
@@ -189,7 +201,13 @@ class FixpointEngine:
         (?p rdf:type owl:SymmetricProperty)) — exactly the alpha memories
         whose emptiness lets whole rules be skipped without launching a
         single job. The partition histogram is the per-partition lineage the
-        north rule asks for. Key cardinality is rule-set/ontology-bounded.
+        north rule asks for.
+
+        BOUNDED: both grouping keys are gated to the rule set's constant
+        predicates / (p,o) gate pairs, so collect size is
+        O(partitions x |rule consts|) regardless of the data's predicate
+        vocabulary — open RDF with millions of distinct p collects the same
+        handful of rows.
         """
         if self._gate_pairs:
             gate = reduce(
@@ -201,31 +219,37 @@ class FixpointEngine:
             )
             gate_o = F.when(gate, F.col("o"))
         else:
-            gate_o = F.lit(None).cast("string")
+            gate_o = F.lit(None).cast(delta.schema["o"].dataType)
+        if self._gate_preds:
+            gate_p = F.when(F.col("p").isin(list(self._gate_preds)), F.col("p"))
+        else:
+            gate_p = F.lit(None).cast(delta.schema["p"].dataType)
         rows = (
             delta.groupBy(
-                F.spark_partition_id().alias("pid"), F.col("p"), gate_o.alias("go")
+                F.spark_partition_id().alias("pid"), gate_p.alias("gp"), gate_o.alias("go")
             )
             .agg(F.count("*").alias("cnt"))
             .collect()
         )
         counts: dict = {}
         lineage: dict[int, int] = {}
+        total = 0
         for r in rows:
-            k = ("p", r["p"])
-            counts[k] = counts.get(k, 0) + r["cnt"]
+            total += r["cnt"]
+            if r["gp"] is not None:
+                k = ("p", r["gp"])
+                counts[k] = counts.get(k, 0) + r["cnt"]
             if r["go"] is not None:
-                kk = ("po", r["p"], r["go"])
+                kk = ("po", r["gp"], r["go"])
                 counts[kk] = counts.get(kk, 0) + r["cnt"]
             lineage[r["pid"]] = lineage.get(r["pid"], 0) + r["cnt"]
-        total = sum(v for (tag, *_), v in counts.items() if tag == "p")
         return counts, total, [lineage[k] for k in sorted(lineage)]
 
     @staticmethod
     def _atom_key(atom) -> Optional[tuple]:
         """The alpha-count key this atom's emptiness can be checked against."""
         p, o = atom[1], atom[2]
-        p_const, o_const = isinstance(p, str), isinstance(o, str)
+        p_const, o_const = _is_const(p), _is_const(o)
         if p_const and o_const:
             return ("po", p, o)
         if p_const:
@@ -237,10 +261,11 @@ class FixpointEngine:
 
     def materialize(self, asserted: DataFrame) -> FixpointResult:
         """Run to least fixpoint (processTriples, RuleEngine.scala:50-65)."""
-        spark = self.spark
         asserted = asserted.select(*TRIPLE_COLS)
         facts = asserted.distinct().localCheckpoint(eager=True)
-        return self._run(facts, asserted, round0=0, prior_metrics=[], derivations=None)
+        # the result's `asserted` is the checkpointed distinct — self-contained
+        # (safe to reuse outside a foreachBatch micro-batch) at zero extra cost
+        return self._run(facts, facts, round0=0, prior_metrics=[], derivations=None)
 
     def incremental(
         self, prev: FixpointResult, new_triples: DataFrame
@@ -251,21 +276,26 @@ class FixpointEngine:
         network, README.md:9; SURVEY §2.6 streaming note). Semi-naive rounds
         then close the gap; unchanged facts are never recomputed."""
         spo = list(TRIPLE_COLS)
-        delta = (
-            new_triples.select(*spo)
-            .distinct()
-            .join(prev.facts, on=spo, how="left_anti")
-            .localCheckpoint(eager=True)
+        # checkpoint the incoming batch so the result never holds micro-batch
+        # lineage (a foreachBatch DataFrame is only valid inside its batch)
+        new_triples = new_triples.select(*spo).distinct().localCheckpoint(eager=True)
+        delta = new_triples.join(prev.facts, on=spo, how="left_anti").localCheckpoint(
+            eager=True
         )
         d = delta.count()
         facts = prev.facts.unionByName(delta).localCheckpoint(eager=True)
         base = prev.facts_count + d
-        m0 = RoundMetrics(0, 0, d, base, 0.0, 0, 0, [])
+        # continue round numbering after the previous run so a shared
+        # checkpoint_dir accumulates a consistent delta sequence (no
+        # overwrites) and the seed delta itself is persisted for resume()
+        round0 = prev.metrics[-1].round + 1 if prev.metrics else 1
+        m0 = RoundMetrics(round0, 0, d, base, 0.0, 0, 0, [])
+        self._write_round(round0, delta, m0)
         res = self._run(
             facts,
-            prev.asserted.unionByName(new_triples.select(*spo)),
-            round0=0,
-            prior_metrics=[m0],
+            prev.asserted.unionByName(new_triples),
+            round0=round0,
+            prior_metrics=list(prev.metrics) + [m0],
             derivations=prev.derivations,
             delta0=delta,
             facts_old0=prev.facts,

@@ -71,6 +71,9 @@ class Reasoner:
 
     def __init__(self, facts: DataFrame):
         self.facts = facts
+        self._sco_edges_df: Optional[DataFrame] = None
+        self._sco_clo_df: Optional[DataFrame] = None
+        self._cone_cache: dict[tuple[str, bool], DataFrame] = {}
 
     # -- helpers -----------------------------------------------------------
     def _po(self, p: str, o: Optional[str] = None) -> DataFrame:
@@ -101,6 +104,7 @@ class Reasoner:
         i = encode_resource(ind)
         t = (
             self.facts.filter((F.col("s") == i) & (F.col("p") == _TYPE))
+            .filter(F.col("o").startswith("<"))  # FILTER(isIRI(?o)) (:254)
             .filter(F.col("o") != _NAMED)  # FILTER(?o != owl:NamedIndividual)
             .select(F.col("o").alias("cls"))
             .distinct()
@@ -114,19 +118,87 @@ class Reasoner:
         return t
 
     # -- Q4/Q5: sub/superclass property paths (ArachneOWLReasoner.scala:159-223)
+    def _sco_edges(self) -> DataFrame:
+        """subClassOf edge relation, materialized once per facade instance."""
+        if self._sco_edges_df is None:
+            self._sco_edges_df = (
+                self._po(_SCO)
+                .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        return self._sco_edges_df
+
     def _sco_closure(self) -> DataFrame:
-        edges = self._po(_SCO).select(
-            F.col("s").alias("src"), F.col("o").alias("dst")
+        """GLOBAL closure of the whole subClassOf graph — memoized; only for
+        callers that genuinely need all pairs. The anchored facade queries
+        (subclasses/superclasses) never compute this."""
+        if self._sco_clo_df is None:
+            self._sco_clo_df = transitive_closure(self._sco_edges()).localCheckpoint(
+                eager=True
+            )
+        return self._sco_clo_df
+
+    def _anchored_closure(self, seed: str, *, reverse: bool) -> DataFrame:
+        """Seed-anchored reachability cone over subClassOf edges — the shape
+        of the reference query (`?s rdfs:subClassOf+ <C>` is anchored at C,
+        ArachneOWLReasoner.scala:179). The frontier/visited sets are
+        cone-sized and BROADCAST into each hop join, so the edge relation is
+        scanned (map-side) but never shuffled, and only the cone reachable
+        from the seed is ever materialized — unlike a global
+        doubling-closure, which is quadratic-ish in the whole class graph.
+        reverse=True walks edges dst->src (descendants); False walks src->dst
+        (ancestors). Results are memoized per (seed, direction).
+        Returns one `cls` column (seed excluded)."""
+        key = (seed, reverse)
+        if key in self._cone_cache:
+            return self._cone_cache[key]
+        edges = self._sco_edges()
+        probe, out = ("dst", "src") if reverse else ("src", "dst")
+        spark = self.facts.sparkSession
+        visited = spark.createDataFrame([(seed,)], "cls string").localCheckpoint(
+            eager=True
         )
-        return transitive_closure(edges)
+        frontier = visited
+        while not frontier.isEmpty():
+            hop = (
+                edges.join(
+                    F.broadcast(frontier), on=edges[probe] == frontier["cls"]
+                )
+                .select(F.col(out).alias("cls"))
+                .distinct()
+            )
+            frontier = hop.join(
+                F.broadcast(visited), on="cls", how="left_anti"
+            ).localCheckpoint(eager=True)
+            if frontier.isEmpty():
+                break
+            visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        # seed ⊑+ seed holds iff an edge leaves the seed back into the cone
+        # (mutual-subClassOf cycle) — the `+` path semantics the global
+        # closure gave; one bounded broadcast probe.
+        seed_back = (
+            edges.filter(F.col(out) == seed)
+            .join(F.broadcast(visited), on=edges[probe] == visited["cls"], how="left_semi")
+            .limit(1)
+        )
+        cone = visited if not seed_back.isEmpty() else visited.filter(F.col("cls") != seed)
+        cone = cone.localCheckpoint(eager=True)
+        self._cone_cache[key] = cone
+        return cone
 
     def subclasses(self, cls: str, direct: bool = False) -> DataFrame:
         c = encode_iri(cls)
         if direct:
-            return self._po(_SCO, c).select(F.col("s").alias("cls")).distinct()
-        clo = self._sco_closure()
+            return (
+                self._po(_SCO, c)
+                .filter(F.col("s").startswith("<"))  # FILTER(isIRI) (:169,:204)
+                .select(F.col("s").alias("cls"))
+                .distinct()
+            )
         return (
-            clo.filter(F.col("dst") == c).select(F.col("src").alias("cls")).distinct()
+            self._anchored_closure(c, reverse=True)
+            .filter(F.col("cls").startswith("<"))
         )
 
     def superclasses(self, cls: str, direct: bool = False) -> DataFrame:
@@ -134,12 +206,13 @@ class Reasoner:
         if direct:
             return (
                 self.facts.filter((F.col("s") == c) & (F.col("p") == _SCO))
+                .filter(F.col("o").startswith("<"))  # FILTER(isIRI) (:180)
                 .select(F.col("o").alias("cls"))
                 .distinct()
             )
-        clo = self._sco_closure()
         return (
-            clo.filter(F.col("src") == c).select(F.col("dst").alias("cls")).distinct()
+            self._anchored_closure(c, reverse=False)
+            .filter(F.col("cls").startswith("<"))
         )
 
     # -- Q6: getObjectPropertyValues (incl. inverse, :103-118) --------------
@@ -151,6 +224,7 @@ class Reasoner:
             # inverse path ^<p>: values are subjects with (?v p ind)
             return (
                 self.facts.filter((F.col("p") == p) & (F.col("o") == i))
+                .filter(F.col("s").startswith("<"))  # FILTER(isIRI(?s)) (:113)
                 .select(F.col("s").alias("value"))
                 .distinct()
             )
@@ -178,6 +252,7 @@ class Reasoner:
         selfdf = spark.createDataFrame([(i,)], "ind string")
         sames = (
             self.facts.filter((F.col("s") == i) & (F.col("p") == _SAME))
+            .filter(F.col("o").startswith("<"))  # FILTER(isIRI) (:152)
             .select(F.col("o").alias("ind"))
         )
         return sames.unionByName(selfdf).distinct()
@@ -187,6 +262,7 @@ class Reasoner:
         i = encode_resource(ind)
         return (
             self.facts.filter((F.col("s") == i) & (F.col("p") == _DIFF))
+            .filter(F.col("o").startswith("<"))  # FILTER(isIRI) (:67)
             .select(F.col("o").alias("ind"))
             .distinct()
         )

@@ -25,14 +25,22 @@ N_BANDS = 4
 
 def _shingles(text_col: str, k: int = 3):
     """Word k-shingles, 1-based slices — formula-identical to the DuckDB
-    oracle: l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in 1..len-2."""
+    oracle: l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in 1..len-2.
+
+    Documents with fewer than k words yield an EMPTY array (matching the
+    oracle's exclusive-range semantics). The size guard is required because
+    Spark's sequence(1, 0) is DESCENDING ([1, 0]) and element_at(l, 0) throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT."""
     l = F.split(F.col(text_col), " ")
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(l) - k + 1, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(l, i + j) for j in range(k)]
+    return F.when(
+        F.size(l) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(l) - k + 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(l, i + j) for j in range(k)]
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -137,16 +145,31 @@ def ngram_jaccard_pairs(
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens (xxhash64 token hashes; per-bit
-    majority vote). Bit arithmetic stays in Catalyst: for each bit position a
-    token votes +1/-1 by (hash >> bit) & 1; the sign vector re-assembles into
-    one long. Emits (id, simhash, band16) where band16 splits the 64 bits into
-    four 16-bit bands for blocking."""
+    """64-bit SimHash over whitespace tokens with per-bit majority vote.
+
+    The 64 token-hash bits come from two 32-bit halves of md5(token) (hex ->
+    int via conv), NOT xxhash64 — md5 is engine-independent, so the DuckDB
+    oracle reproduces identical simhashes bit-for-bit. Bit arithmetic stays in
+    Catalyst: each token votes +1/-1 per bit by (half >> bit) & 1; the sign
+    vector reassembles into one signed long (arithmetic shifts match DuckDB's
+    BIGINT semantics). Emits (id, simhash, band16_0..3) where the four 16-bit
+    bands block near-dup candidates (Hamming-distance ≤3 pairs share a band
+    by pigeonhole)."""
     toks = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-    h = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    md5 = F.md5("tok")
+    h = toks.select(
+        id_col,
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h_hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h_lo"),
+    )
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("h_lo" if b < 32 else "h_hi"), b % 32)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b{b}")
         for b in range(64)
     ]

@@ -62,18 +62,33 @@ def cosine_topk(
     )
 
 
+def _default_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic default centroids: vectors with id < n_centroids. This is
+    a FILTER (pushed to the scan), not a global sort — orderBy(id).limit(C)
+    would totally order the corpus just to pick C rows. At real scale pass
+    k-means centroids via the `centroids` parameter instead; the
+    partitioning/plumbing is identical."""
+    return corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("ce")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """(vec_id, centroid_id): nearest-centroid bucket per vector. Centroids =
-    the first n_centroids vectors by id (deterministic); broadcast."""
+    """(vec_id, centroid_id): nearest-centroid bucket per vector. Centroids
+    are caller-supplied (cid, ce double-array) or the deterministic id-filter
+    default; always broadcast."""
     cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("ce"))
+        centroids
+        if centroids is not None
+        else _default_centroids(corpus, n_centroids, id_col, vec_col)
     )
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("e"))
     scored = c.crossJoin(F.broadcast(cents)).withColumn(
@@ -95,17 +110,18 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's nprobe nearest
     centroid buckets. The corpus-side join key is centroid_id, so the search
     is bucket-local — the 100 TB scale path."""
-    assign = ivf_assign(corpus, n_centroids, id_col, vec_col)
-    bucketed = corpus.join(assign, id_col)
     cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("ce"))
+        centroids
+        if centroids is not None
+        else _default_centroids(corpus, n_centroids, id_col, vec_col)
     )
+    assign = ivf_assign(corpus, n_centroids, id_col, vec_col, centroids=cents)
+    bucketed = corpus.join(assign, id_col)
     q = queries.select(
         F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qe")
     )

@@ -45,15 +45,73 @@ def _expand_paths(path: str) -> list[str]:
 
 
 def _normalize_nt_escapes(c):
-    """N-Triples literal escapes (\\n \\t \\r) -> raw characters, keeping our
-    canonical \\\\ and \\" escapes. Pure column expressions."""
-    # \n, \r, \t unescape; a literal backslash stays doubled. The replacement
-    # strings carry REAL control characters (Java replaceAll would read a
+    """N-Triples literal escapes (\\n \\t \\r \\f \\b) -> raw characters,
+    keeping our canonical \\\\ and \\" escapes. Pure column expressions."""
+    # unescape; a literal backslash stays doubled. The replacement strings
+    # carry REAL control characters (Java replaceAll would read a
     # backslash-n replacement as a literal 'n').
     c = F.regexp_replace(c, r"(?<!\\)((?:\\\\)*)\\n", "$1\n")
     c = F.regexp_replace(c, r"(?<!\\)((?:\\\\)*)\\r", "$1\r")
     c = F.regexp_replace(c, r"(?<!\\)((?:\\\\)*)\\t", "$1\t")
-    return c
+    c = F.regexp_replace(c, r"(?<!\\)((?:\\\\)*)\\f", "$1\f")
+    c = F.regexp_replace(c, r"(?<!\\)((?:\\\\)*)\\b", "$1\b")
+    return _decode_uchar_escapes(c)
+
+
+# A UCHAR escape written \\uXXXX or \\UXXXXXXXX. After the sentinel pass
+# below there are no doubled backslashes left, so every remaining \\u/\\U is a
+# real escape.
+_UCHAR_RE = r"\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}"
+# private-use sentinel standing in for an escaped backslash during decoding
+_BS_SENTINEL = "\ue000"
+
+
+def _uchar_to_char(e):
+    """One UCHAR escape token -> its character, via UTF-16BE decode of the
+    code point (surrogate-pair arithmetic above the BMP). Spark's chr() is
+    byte-oriented, so decode(unhex(...), 'UTF-16BE') is the unicode-correct
+    route — still pure Catalyst."""
+    cp = F.conv(F.substring(e, 3, 8), 16, 10).cast("long")
+    hex4 = F.lpad(F.hex(cp), 4, "0")
+    hi = F.lit(0xD800) + F.shiftright(cp - 0x10000, 10)
+    lo = F.lit(0xDC00) + (cp - 0x10000).bitwiseAND(F.lit(0x3FF))
+    surrogates = F.concat(F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0"))
+    # quote and backslash stay ESCAPED in our canonical term encoding
+    # (model.py: esc() escapes exactly these two), so " -> \" not "
+    return (
+        F.when(cp == 0x22, F.lit('\\"'))
+        .when(cp == 0x5C, F.lit("\\\\"))
+        .otherwise(
+            F.decode(
+                F.unhex(F.when(cp <= 0xFFFF, hex4).otherwise(surrogates)), "UTF-16BE"
+            )
+        )
+    )
+
+
+def _decode_uchar_escapes(c):
+    """Decode N-Triples \\uXXXX / \\UXXXXXXXX escapes to raw characters so a
+    term written either way is ONE term (the Jena loader's behavior the
+    reference inherits, Main.scala:63-74). Escaped backslashes are protected
+    via a private-use sentinel so \\\\u0041 stays a literal backslash + text.
+    The whole path is gated on the presence of an escape, so ASCII-clean data
+    pays one `contains` check. Caveat (documented): raw U+E000 in input data
+    would collide with the sentinel on escape-bearing lines only."""
+    protected = F.regexp_replace(c, r"\\\\", _BS_SENTINEL)
+    parts = F.split(protected, _UCHAR_RE, -1)
+    escs = F.regexp_extract_all(protected, F.lit(f"({_UCHAR_RE})"), 1)
+    recombined = F.aggregate(
+        F.sequence(F.lit(1), F.size(escs)),
+        F.element_at(parts, 1),
+        lambda acc, i: F.concat(
+            acc, _uchar_to_char(F.element_at(escs, i)), F.element_at(parts, i + 1)
+        ),
+    )
+    decoded = F.when(F.size(escs) > 0, recombined).otherwise(protected)
+    restored = F.regexp_replace(decoded, _BS_SENTINEL, r"\\\\")
+    return F.when(
+        c.contains("\\u") | c.contains("\\U"), restored
+    ).otherwise(c)
 
 
 def read_ntriples(
@@ -74,12 +132,14 @@ def read_ntriples(
         F.regexp_extract("value", _LINE_RE, 2).alias("p"),
         F.regexp_extract("value", _LINE_RE, 3).alias("o"),
     ).filter((F.col("s") != "") & (F.col("p") != "") & (F.col("o") != ""))
+    # IRIREF allows UCHAR escapes too, so every position gets the unicode
+    # decode; the literal-only escapes (\n etc.) apply to literal objects.
     return parsed.select(
-        "s",
-        "p",
+        _decode_uchar_escapes(F.col("s")).alias("s"),
+        _decode_uchar_escapes(F.col("p")).alias("p"),
         F.when(
             F.col("o").startswith('"'), _normalize_nt_escapes(F.col("o"))
-        ).otherwise(F.col("o")).alias("o"),
+        ).otherwise(_decode_uchar_escapes(F.col("o"))).alias("o"),
     )
 
 

@@ -141,3 +141,55 @@ def test_rule_skipping_counts(spark):
     assert spo_set(res.facts) == naive_fixpoint(data, rules)
     # the dead rule was skipped in every round
     assert all(m.rules_skipped >= 1 for m in res.metrics if m.round >= 1)
+
+
+def test_incremental_with_checkpoint_dir_continues_rounds(spark, tmp_path):
+    """incremental() under a checkpoint_dir must EXTEND the round sequence
+    (no overwrites of prior round parquet) and persist its seed delta, so a
+    later resume() reconstructs the full store including incrementally
+    asserted triples."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(6)]
+    eng = FixpointEngine(spark, _trans_rules(), checkpoint_dir=ckpt)
+    res = eng.materialize(triples_df(spark, chain))
+    rounds_before = sorted(
+        d for d in os.listdir(ckpt) if d.startswith("round=")
+    )
+    extra = [("<n6>", f"<{R}>", "<n7>"), ("<n7>", f"<{R}>", "<n8>")]
+    res2 = eng.incremental(res, triples_df(spark, extra))
+    rounds_after = sorted(d for d in os.listdir(ckpt) if d.startswith("round="))
+    # prior rounds untouched, new rounds appended
+    assert set(rounds_before) < set(rounds_after)
+    expect = spo_set(res2.facts)
+    # resume from disk reconstructs the incremental store exactly
+    eng2 = FixpointEngine(spark, _trans_rules(), checkpoint_dir=ckpt)
+    res3 = eng2.resume(triples_df(spark, chain + extra))
+    assert spo_set(res3.facts) == expect
+
+
+def test_delta_stats_bounded_on_open_predicate_vocabulary(spark):
+    """The per-round stats collect must be rule-set-bounded: 10k distinct
+    data predicates with a 1-constant-predicate rule set collect only
+    partitions x 2 grouped rows (gated p in {<p:up>, NULL})."""
+    from pyspark.sql import functions as F
+
+    eng = FixpointEngine(spark, _trans_rules())
+    many_preds = spark.range(10_000).select(
+        F.concat(F.lit("<s"), F.col("id"), F.lit(">")).alias("s"),
+        F.concat(F.lit("<q"), F.col("id"), F.lit(">")).alias("p"),
+        F.lit("<o>").alias("o"),
+    ).unionAll(
+        spark.range(5).select(
+            F.concat(F.lit("<n"), F.col("id"), F.lit(">")).alias("s"),
+            F.lit(f"<{R}>").alias("p"),
+            F.concat(F.lit("<n"), F.col("id") + 1, F.lit(">")).alias("o"),
+        )
+    )
+    counts, total, lineage = eng._delta_stats(many_preds)
+    assert total == 10_005
+    assert counts[("p", f"<{R}>")] == 5
+    # only gated keys are collected — never one per distinct data predicate
+    assert len(counts) <= 4
+    assert sum(lineage) == 10_005

@@ -127,3 +127,57 @@ def test_transitive_closure_doubling(spark):
     )
     clo = transitive_closure(edges)
     assert clo.count() == 45  # 10 nodes, all ordered pairs
+
+
+def test_anchored_closure_matches_global_and_handles_cycles(spark):
+    """subclasses/superclasses walk an anchored frontier (the reference query
+    is anchored, ArachneOWLReasoner.scala:179) — results must equal the
+    global-closure answers, including a mutual-subClassOf cycle where
+    C subClassOf+ C holds."""
+    edges = [
+        (e("B"), SCO, e("A")),
+        (e("C"), SCO, e("B")),
+        (e("D"), SCO, e("C")),
+        (e("X"), SCO, e("Y")),  # unrelated component: must never be touched
+        (e("P"), SCO, e("Q")),  # cycle P <-> Q
+        (e("Q"), SCO, e("P")),
+    ]
+    r = Reasoner(triples_df(spark, edges))
+    subs = {x["cls"] for x in r.subclasses(EX + "A").collect()}
+    assert subs == {e("B"), e("C"), e("D")}
+    sups = {x["cls"] for x in r.superclasses(EX + "D").collect()}
+    assert sups == {e("A"), e("B"), e("C")}
+    # cycle: P subClassOf+ P, so P appears in its own descendants/ancestors
+    assert {x["cls"] for x in r.subclasses(EX + "P").collect()} == {e("P"), e("Q")}
+    assert {x["cls"] for x in r.superclasses(EX + "P").collect()} == {e("P"), e("Q")}
+    # direct=True unaffected
+    assert {x["cls"] for x in r.subclasses(EX + "A", direct=True).collect()} == {e("B")}
+
+
+def test_facade_isiri_filters(spark):
+    """Bnode classes/individuals are filtered where the reference SPARQL has
+    FILTER(isIRI(...)): types, sub/superclasses, sameAs, differentFrom,
+    inverse object-property values."""
+    facts = [
+        (e("i1"), TYPE, e("C")),
+        (e("i1"), TYPE, "_:restriction"),       # bnode class expression
+        ("_:b1", SCO, e("C")),                   # bnode subclass
+        (e("C"), SCO, "_:b2"),                   # bnode superclass
+        (e("D"), SCO, e("C")),
+        (e("i1"), SAME, "_:b3"),
+        (e("i1"), SAME, e("i2")),
+        (e("i1"), DIFF, "_:b4"),
+        ("_:b5", e("knows"), e("i1")),           # bnode subject for inverse
+        (e("i3"), e("knows"), e("i1")),
+    ]
+    r = Reasoner(triples_df(spark, facts))
+    assert {x["cls"] for x in r.types(EX + "i1").collect()} == {e("C")}
+    assert {x["cls"] for x in r.subclasses(EX + "C").collect()} == {e("D")}
+    assert {x["cls"] for x in r.superclasses(EX + "C").collect()} == set()
+    assert {x["ind"] for x in r.same_individuals(EX + "i1").collect()} == {
+        e("i1"), e("i2")
+    }
+    assert {x["ind"] for x in r.different_individuals(EX + "i1").collect()} == set()
+    assert {
+        x["value"] for x in r.object_property_values(EX + "i1", EX + "knows", inverse=True).collect()
+    } == {e("i3")}

@@ -1,0 +1,187 @@
+"""Unit tests for the functions/ layer (dedup, similarity, multimodal edges).
+
+Covers the previously-unverified operators (simhash, ivf_topk, frame sampling,
+resize arithmetic) and the short-document edge cases: Spark's sequence(1, 0)
+is descending, so unguarded shingling crashes on docs with fewer than k words.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arachne_spark.functions.dedup import (
+    _shingles,
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    minhash_bands,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from arachne_spark.functions.multimodal import frame_sample_plan, resize_stub
+from arachne_spark.functions.similarity import cosine_topk, ivf_assign, ivf_topk
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+SHORT_DOCS = [
+    (1, ""),
+    (2, "one"),
+    (3, "two words"),
+    (4, "exactly three words"),
+    (5, "a b c d e"),
+]
+
+
+def test_shingles_short_docs_no_crash(spark):
+    d = docs_df(spark, SHORT_DOCS)
+    rows = {
+        r["doc_id"]: r["n"]
+        for r in d.select("doc_id", F.size(_shingles("text")).alias("n")).collect()
+    }
+    # "" splits to [''] (1 word) -> 0 shingles; <3 words -> 0; 3 words -> 1; 5 -> 3
+    assert rows == {1: 0, 2: 0, 3: 0, 4: 1, 5: 3}
+
+
+def test_minhash_lsh_jaccard_short_docs_no_crash(spark):
+    d = docs_df(spark, SHORT_DOCS)
+    mb = minhash_bands(d)
+    # docs with no shingles emit no signature rows
+    assert {r["doc_id"] for r in mb.select("doc_id").distinct().collect()} == {4, 5}
+    pairs = lsh_candidate_pairs(d)
+    verified = ngram_jaccard_pairs(d, pairs, threshold=0.0)
+    verified.collect()  # must not throw on the short docs
+
+
+def test_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    d = docs_df(
+        spark,
+        [(1, base), (2, base + " tail"), (3, "completely different words entirely here now")],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(d).collect()}
+    assert (1, 2) in pairs
+    v = ngram_jaccard_pairs(d, lsh_candidate_pairs(d), threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in v.collect()}
+    assert got == {(1, 2)}
+
+
+def test_exact_dup_groups(spark):
+    d = docs_df(spark, [(1, "same text"), (2, "same text"), (3, "other")])
+    rows = {r["keeper"]: r["n_docs"] for r in exact_dup_groups(d).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_simhash_identical_and_bands(spark):
+    d = docs_df(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "totally unrelated content stream xyz"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in simhash(d).collect()}
+    assert rows[1]["simhash"] == rows[2]["simhash"]
+    # band split must reassemble to the full 64-bit hash
+    for r in rows.values():
+        sh = r["simhash"]
+        reassembled = 0
+        for i in range(4):
+            reassembled |= (r[f"band16_{i}"] & 0xFFFF) << (16 * i)
+        assert reassembled == sh & 0xFFFFFFFFFFFFFFFF
+    # identical docs share every band bucket; a different doc differs somewhere
+    assert any(
+        rows[1][f"band16_{i}"] != rows[3][f"band16_{i}"] for i in range(4)
+    )
+
+
+def _vec(*xs):
+    return [float(x) for x in xs]
+
+
+def test_ivf_assign_no_global_sort(spark):
+    emb = spark.createDataFrame(
+        [(i, _vec(i % 3, (i + 1) % 3, 1)) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = ivf_assign(emb, n_centroids=4)._jdf.queryExecution().executedPlan().toString()
+    # the window's per-partition sort is fine; a GLOBAL orderBy would show up
+    # as a range-partitioning exchange or TakeOrderedAndProject
+    assert "rangepartitioning" not in plan.lower()
+    assert "TakeOrdered" not in plan
+    out = ivf_assign(emb, n_centroids=4).collect()
+    assert len(out) == 20
+    assert all(0 <= r["centroid_id"] < 4 for r in out)
+
+
+def test_ivf_assign_caller_centroids(spark):
+    emb = spark.createDataFrame(
+        [(1, _vec(1, 0)), (2, _vec(0, 1)), (3, _vec(0.9, 0.1))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(100, _vec(1, 0)), (200, _vec(0, 1))], "cid long, ce array<double>"
+    )
+    got = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(emb, centroids=cents).collect()}
+    assert got == {1: 100, 2: 200, 3: 100}
+
+
+def test_ivf_topk_subset_of_bruteforce_buckets(spark):
+    import math
+
+    emb = spark.createDataFrame(
+        [
+            (i, _vec(math.cos(i / 7.0), math.sin(i / 7.0), (i % 5) / 5.0))
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 3)
+    approx = ivf_topk(emb, q, k=3, n_centroids=4, nprobe=4)
+    exact = cosine_topk(emb, q, k=3)
+    # with nprobe == n_centroids every bucket is probed -> identical to exact
+    a = {(r["qid"], r["vec_id"], r["rank"]) for r in approx.collect()}
+    e = {(r["qid"], r["vec_id"], r["rank"]) for r in exact.collect()}
+    assert a == e
+    # with fewer probes: still k rows per query, self excluded, valid ranks
+    small = ivf_topk(emb, q, k=3, n_centroids=4, nprobe=2).collect()
+    for r in small:
+        assert r["qid"] != r["vec_id"] and 1 <= r["rank"] <= 3
+
+
+def test_cosine_topk_all_identical_vectors(spark):
+    emb = spark.createDataFrame(
+        [(i, _vec(1, 1, 1)) for i in range(6)], "vec_id long, embedding array<double>"
+    )
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+    # ties broken by neighbor id: 1,2,3
+    assert [(r["vec_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])] == [
+        (1, 1),
+        (2, 2),
+        (3, 3),
+    ]
+
+
+def test_frame_sample_plan(spark):
+    meta = spark.createDataFrame(
+        [("m1", 4096), ("m2", 100)], "media_id string, n_bytes long"
+    )
+    rows = frame_sample_plan(meta, fps=1.0).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append((r["frame_idx"], r["ts_sec"]))
+    # m1: 4096/1024 = 4s -> frames 0..3; m2: <1s -> still one frame (idx 0)
+    assert sorted(by_id["m1"]) == [(0, 0.0), (1, 1.0), (2, 2.0), (3, 3.0)]
+    assert sorted(by_id["m2"]) == [(0, 0.0)]
+
+
+def test_resize_stub_aspect_preserving(spark):
+    meta = spark.createDataFrame(
+        [("a", 448, 896), ("b", 100, 50)], "media_id string, width int, height int"
+    )
+    got = {r["media_id"]: (r["resized_w"], r["resized_h"]) for r in resize_stub(meta, 224).collect()}
+    assert got["a"] == (224, 448)  # shorter side 448 -> 224, aspect kept
+    assert got["b"] == (448, 224)

@@ -81,3 +81,46 @@ def test_flat_parquet_roundtrip(spark, tmp_path):
     write_flat_parquet(df, path)
     back = read_flat_parquet(spark, path)
     assert spo_set(back) == set(DATA)
+
+
+def test_ntriples_unicode_escapes(spark, tmp_path):
+    """\\uXXXX / \\UXXXXXXXX escapes decode to the same term as raw UTF-8;
+    \\\\u stays a literal backslash + text (no false decode)."""
+    p = tmp_path / "u.nt"
+    p.write_text(
+        '<http://ex/s> <http://ex/p> "caf\\u00e9" .\n'
+        '<http://ex/s> <http://ex/q> "café" .\n'
+        '<http://ex/s> <http://ex/r> "\\U0001F600" .\n'
+        '<http://ex/s> <http://ex/b> "back\\\\u0041slash" .\n'
+        '<http://ex/\\u0073> <http://ex/iri> <http://ex/o> .\n',
+        encoding="utf-8",
+    )
+    from arachne_spark.sources.ntriples import read_ntriples
+
+    rows = {r["p"]: r["o"] for r in read_ntriples(spark, str(p)).collect()}
+    assert rows["<http://ex/p>"] == '"café"'
+    assert rows["<http://ex/p>"] == rows["<http://ex/q>"]  # ONE term either way
+    assert rows["<http://ex/r>"] == '"\U0001F600"'  # beyond-BMP surrogate path
+    assert rows["<http://ex/b>"] == '"back\\\\u0041slash"'  # escaped backslash kept
+    subjects = {
+        r["s"] for r in read_ntriples(spark, str(p)).filter("p = '<http://ex/iri>'").collect()
+    }
+    assert subjects == {"<http://ex/s>"}  # IRI-position escape decoded
+
+
+def test_ntriples_quote_backslash_uchar_escapes(spark, tmp_path):
+    """\\u0022 and \\u005C decode to the CANONICAL escaped forms so term
+    identity matches literals written with \\" and \\\\."""
+    p = tmp_path / "q.nt"
+    p.write_text(
+        '<http://ex/s> <http://ex/p1> "a\\u0022b" .\n'
+        '<http://ex/s> <http://ex/p2> "a\\"b" .\n'
+        '<http://ex/s> <http://ex/p3> "a\\u005Cb" .\n'
+        '<http://ex/s> <http://ex/p4> "a\\\\b" .\n',
+        encoding="utf-8",
+    )
+    from arachne_spark.sources.ntriples import read_ntriples
+
+    rows = {r["p"]: r["o"] for r in read_ntriples(spark, str(p)).collect()}
+    assert rows["<http://ex/p1>"] == rows["<http://ex/p2>"]
+    assert rows["<http://ex/p3>"] == rows["<http://ex/p4>"]
