@@ -1,0 +1,173 @@
+"""Term dictionary: encoded term strings <-> 8-byte long ids for the fixpoint
+hot loop (SURVEY.md §1.3's reserved optimization; the analogue of the
+reference's interned-URI / cached-hashCode structural identity,
+Triple.scala:11,83-87).
+
+Design — HASH ids, not assigned ids:
+
+    id(term) = xxhash64(term)            (salt 0)
+             = xxhash64(term, salt)      (salt > 0, only after a collision)
+
+Because the id is a pure column expression, ENCODING NEEDS NO JOIN and no
+shuffle: any triples DataFrame maps to (long, long, long) in a single
+codegen'd projection, and incremental batches / resumed runs encode new data
+statelessly with the same salt. Every join, distinct, and anti-join in the
+fixpoint then carries 24 bytes per row instead of arbitrarily long IRI
+strings — the round-1 bench showed the 8M-row self-join round was
+memory-bound on exactly those fat string keys.
+
+Injectivity is VERIFIED, not assumed: `build_term_dict` distincts the term
+vocabulary (input terms + rule constants — derived facts can never contain
+any other term, since heads only rearrange body bindings and rule constants)
+and checks count == countDistinct(id), bumping the salt until collision-free
+(64-bit birthday bound makes even one retry vanishingly unlikely). The same
+distinct'd vocabulary IS the decode dictionary used at the export boundary.
+
+Decoding is 3 hash joins against the dictionary — paid once at export, never
+inside the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from arachne_spark.model import TRIPLE_COLS
+
+TRIPLE_ID_SCHEMA = T.StructType(
+    [T.StructField(c, T.LongType(), False) for c in TRIPLE_COLS]
+)
+
+
+def term_id_col(c, salt: int = 0):
+    """The id expression for one term column. Pure Catalyst (whole-stage
+    codegen); salt participates in the hash only when non-zero so the common
+    path is a single-argument xxhash64."""
+    return F.xxhash64(c) if salt == 0 else F.xxhash64(c, F.lit(salt))
+
+
+def encode_ids(triples: DataFrame, salt: int = 0) -> DataFrame:
+    """(s,p,o string) -> (s,p,o long): one projection, no joins, no shuffle."""
+    return triples.select(
+        *[term_id_col(F.col(c), salt).alias(c) for c in TRIPLE_COLS]
+    )
+
+
+def decode_ids(ids: DataFrame, term_dict: DataFrame) -> DataFrame:
+    """(s,p,o long) -> (s,p,o string) via 3 dictionary joins (export path).
+    Inner joins are exact because the dictionary covers the full closed term
+    universe (input terms + rule constants)."""
+    out = ids
+    for c in TRIPLE_COLS:
+        m = term_dict.select(
+            F.col("id").alias(c), F.col("term").alias(f"__{c}_term")
+        )
+        out = out.join(m, on=c, how="inner")
+    return out.select(*[F.col(f"__{c}_term").alias(c) for c in TRIPLE_COLS])
+
+
+def build_term_dict(
+    spark: SparkSession,
+    triples: DataFrame,
+    extra_terms: list[str],
+    *,
+    max_salt: int = 8,
+    start_salt: int = 0,
+) -> tuple[int, DataFrame]:
+    """Distinct term vocabulary + collision-free salt.
+
+    Returns (salt, dict_df) where dict_df has columns (term string, id long),
+    localCheckpoint'ed. One distinct shuffle over the input terms (the same
+    pass a decode dictionary needs anyway); per-salt verification is a single
+    map-side-combinable aggregate over the checkpointed vocabulary.
+    """
+    terms = triples.select(
+        F.explode(F.array(*[F.col(c) for c in TRIPLE_COLS])).alias("term")
+    )
+    if extra_terms:
+        terms = terms.unionByName(
+            spark.createDataFrame([(t,) for t in extra_terms], "term string")
+        )
+    vocab = terms.distinct().localCheckpoint(eager=True)
+    for salt in range(start_salt, start_salt + max_salt):
+        d = vocab.select("term", term_id_col(F.col("term"), salt).alias("id"))
+        row = d.agg(
+            F.count("*").alias("n"), F.countDistinct("id").alias("k")
+        ).collect()[0]
+        if row["n"] == row["k"]:
+            return salt, d.localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"no collision-free salt in [{start_salt}, {start_salt + max_salt})"
+    )
+
+
+def extend_term_dict(
+    term_dict: DataFrame, new_triples: DataFrame, salt: int
+) -> DataFrame:
+    """Union newly-seen terms into an existing dictionary (incremental
+    maintenance). The salt is FIXED (already-encoded facts can't be
+    re-salted); a collision between a new term and an existing one raises —
+    at 64 bits this is a practically-impossible event, and the correct
+    recovery is a full re-materialization."""
+    new_terms = new_triples.select(
+        F.explode(F.array(*[F.col(c) for c in TRIPLE_COLS])).alias("term")
+    ).distinct()
+    merged = (
+        term_dict.select("term")
+        .unionByName(new_terms)
+        .distinct()
+        .select("term", term_id_col(F.col("term"), salt).alias("id"))
+        .localCheckpoint(eager=True)
+    )
+    row = merged.agg(
+        F.count("*").alias("n"), F.countDistinct("id").alias("k")
+    ).collect()[0]
+    if row["n"] != row["k"]:
+        raise RuntimeError(
+            "xxhash64 collision between incremental terms and the existing "
+            f"dictionary at salt={salt}; re-materialize from scratch"
+        )
+    return merged
+
+
+def lookup_term_ids(
+    spark: SparkSession, terms: list[str], salt: int = 0
+) -> dict[str, int]:
+    """Driver-side term -> id map for rule constants (one tiny Spark job so
+    the hash is EXACTLY the JVM xxhash64 used on data)."""
+    if not terms:
+        return {}
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    rows = df.select("term", term_id_col(F.col("term"), salt).alias("id")).collect()
+    return {r["term"]: r["id"] for r in rows}
+
+
+def rule_constants(ruleset) -> list[str]:
+    """All constant terms appearing in rule bodies/heads (encoded strings).
+    These join the dictionary so head-constructed facts always decode, even
+    when a constant never occurs in the input data."""
+    consts: set[str] = set()
+    for r in ruleset:
+        for atom in tuple(r.body) + tuple(r.head):
+            for t in atom:
+                if isinstance(t, str):
+                    consts.add(t)
+    return sorted(consts)
+
+
+def encode_ruleset(ruleset, const_ids: dict[str, int]):
+    """Rewrite a RuleSet's string constants to dictionary long ids. Rule
+    structure (vars, wildcards, names) is untouched, so the compiled plans
+    are shape-identical — only the literal values (and join key widths)
+    change."""
+    from arachne_spark.rules import Rule, RuleSet
+
+    def enc_atom(a):
+        return tuple(const_ids[t] if isinstance(t, str) else t for t in a)
+
+    rules = [
+        Rule(r.name, tuple(enc_atom(a) for a in r.body), tuple(enc_atom(a) for a in r.head))
+        for r in ruleset
+    ]
+    return RuleSet(rules)

@@ -18,16 +18,21 @@ the reference's LIFO agendas and child-activation ordering (C5/O6) have no
 analogue — per-round `distinct` supersedes them.
 
 Scale design (the reason this exists):
+- DICTIONARY-ENCODED HOT LOOP (default): terms are hashed to 8-byte longs
+  (dictionary.py, xxhash64 with verified injectivity), so every join key,
+  shuffle row, and hash-table entry in the loop is 24 bytes instead of
+  arbitrarily long IRI strings — the analogue of the reference's interned
+  URIs / cached structural hashCodes (Triple.scala:11,83-87). Encoding is a
+  pure projection (no join); decoding happens ONCE at the export boundary.
 - delta is localCheckpoint'ed each round: truncates lineage AND gives AQE exact
   sizes, so small deltas broadcast automatically in the next round's joins.
 - facts is a union of checkpointed deltas, re-checkpointed every few rounds to
-  bound plan depth; persisted MEMORY_AND_DISK for reuse across the k variants
-  of every rule in a round.
+  bound plan depth.
 - driver-side rule/variant skipping (the unlinking analogue, O5/R7/R8): one
-  `delta.groupBy(p).count()` per round yields the set of predicates with new
-  facts; a variant whose delta-position atom has a constant predicate absent
-  from the delta is skipped without launching a job, and a whole rule is
-  skipped when any constant-predicate body atom has zero facts overall.
+  bounded aggregate per round yields the rule-relevant predicate counts;
+  a variant whose delta-position atom has a constant predicate absent from
+  the delta is skipped without launching a job, and a whole rule is skipped
+  when any constant-predicate body atom has zero facts overall.
 - alpha sharing (C2/O4): atom relations are memoized per (relation, blanked-
   pattern signature) within a round, so rules sharing a selection share the
   plan subtree.
@@ -37,10 +42,19 @@ Scale design (the reason this exists):
   subClassOf object sides is further mitigated because TBox-side atom slices
   are small and broadcast (SURVEY O12).
 
+Provenance (R12/R14): with ``store_derivations=True`` each NEW fact records
+exactly one derivation — (rule, supporting body triples) — matching the
+reference, which records only the FIRST derivation of a fact
+(RuleEngine.scala:74-78 gates on ``memory.facts.add``), so recursive
+expansion terminates. ``FixpointResult.explain_full`` reproduces
+WorkingMemory.explain (WorkingMemory.scala:21-48): recursively expand derived
+supporting facts, cartesian-combine per body, return
+Explanation(asserted facts, rules) sets.
+
 Resumability (north rule): with ``checkpoint_dir`` set, each round's delta is
 written to parquet (``round=NNNN``) together with a ``metrics.jsonl`` line
 carrying round number, delta sizes, wall time, per-rule skip stats, and
-per-partition lineage (rows per shuffle partition of the delta);
+per-partition lineage, plus a ``meta.json`` recording the dictionary salt;
 ``FixpointEngine.resume`` restarts from the last completed round.
 """
 
@@ -51,12 +65,22 @@ import os
 import time
 from dataclasses import dataclass, field
 from functools import reduce
+from itertools import product as _iter_product
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from arachne_spark.dictionary import (
+    build_term_dict,
+    decode_ids,
+    encode_ids,
+    encode_ruleset,
+    extend_term_dict,
+    lookup_term_ids,
+    rule_constants,
+)
 from arachne_spark.model import TRIPLE_COLS
 from arachne_spark.plans.compiler import (
     alpha_filter,
@@ -76,7 +100,37 @@ def _is_const(t) -> bool:
     """Atom term is a constant — an encoded string OR a dictionary long id."""
     return not isinstance(t, (Var, Any_))
 
-DERIVATION_COLS = ("s", "p", "o", "rule_name", "round")
+
+def _empty_like(df: DataFrame) -> DataFrame:
+    return df.sparkSession.createDataFrame([], df.schema)
+
+
+@dataclass(frozen=True)
+class _CompiledRules:
+    """Per-representation compiled rule set: the same rules either with
+    string constants (encoded terms) or with long-id constants."""
+
+    rules: tuple[Rule, ...]
+    gate_pairs: tuple       # const-(p,o) gate atoms (alpha-memory emptiness)
+    gate_preds: tuple       # constant predicates across rule bodies
+
+
+def _compile_rules(ruleset) -> _CompiledRules:
+    rules = tuple(ruleset)
+    gate_pairs = tuple(
+        sorted(
+            {
+                (a[1], a[2])
+                for r in rules
+                for a in r.body
+                if _is_const(a[1]) and _is_const(a[2])
+            }
+        )
+    )
+    gate_preds = tuple(
+        sorted({a[1] for r in rules for a in r.body if _is_const(a[1])})
+    )
+    return _CompiledRules(rules, gate_pairs, gate_preds)
 
 
 @dataclass
@@ -96,36 +150,130 @@ class RoundMetrics:
 
 @dataclass
 class FixpointResult:
-    """The working memory at least fixpoint (WorkingMemory.scala:5-18 analogue)."""
+    """The working memory at least fixpoint (WorkingMemory.scala:5-18 analogue).
+
+    In dictionary-encoded mode (the default), ``facts``/``asserted`` are lazy
+    DECODE plans (3 dictionary joins) over the checkpointed long-id stores
+    ``facts_ids``/``asserted_ids`` — set operations and incremental seeds run
+    on the ids; strings materialize only when exported or collected."""
 
     facts: DataFrame          # asserted ∪ derived (WorkingMemory.facts, N1)
     asserted: DataFrame
     rounds: int
     metrics: list[RoundMetrics]
-    derivations: Optional[DataFrame] = None  # (s,p,o,rule_name,round) when enabled
+    # (s,p,o,rule_name,round,body) — ONE derivation per derived fact (R12)
+    derivations: Optional[DataFrame] = None
+    facts_ids: Optional[DataFrame] = None
+    asserted_ids: Optional[DataFrame] = None
+    term_dict: Optional[DataFrame] = None
+    salt: int = 0
 
     def inferred_only(self) -> DataFrame:
-        """facts minus asserted — the --inferred-only export (S6, Main.scala:81)."""
-        return self.facts.join(self.asserted, on=list(TRIPLE_COLS), how="left_anti")
+        """facts minus asserted — the --inferred-only export (S6, Main.scala:81).
+        In id mode the anti-join runs on 8-byte keys; only the (smaller)
+        result is decoded."""
+        spo = list(TRIPLE_COLS)
+        if self.facts_ids is not None:
+            ids = self.facts_ids.join(self.asserted_ids, on=spo, how="left_anti")
+            return decode_ids(ids, self.term_dict)
+        return self.facts.join(self.asserted, on=spo, how="left_anti")
 
     @property
     def facts_count(self) -> int:
         return self.metrics[-1].facts_total if self.metrics else -1
 
-    def explain(self, s: str, p: str, o: str, max_depth: int = 10) -> list[dict]:
-        """Provenance chain for one (encoded) triple from the derivations table —
-        the offline analogue of WorkingMemory.explain (R14, WorkingMemory.scala:21-48).
-        Returns the list of (rule_name, round) records that first derived it."""
+    # -- provenance (R12/R14) ------------------------------------------------
+
+    def _triple_key(self, s: str, p: str, o: str) -> Optional[tuple]:
+        """Encoded-string triple -> the derivations table's key (ids when in
+        dictionary mode). None if a term is not in the dictionary (the triple
+        can then only be an asserted/unknown leaf)."""
+        if self.term_dict is None:
+            return (s, p, o)
+        rows = self.term_dict.filter(F.col("term").isin([s, p, o])).collect()
+        tmap = {r["term"]: r["id"] for r in rows}
+        if not all(t in tmap for t in (s, p, o)):
+            return None
+        return (tmap[s], tmap[p], tmap[o])
+
+    def explain(self, s: str, p: str, o: str) -> list[dict]:
+        """Direct derivation record(s) for one (encoded) triple: list of
+        {'rule_name', 'round'} — at most one entry, matching the reference's
+        first-derivation-only recording (RuleEngine.scala:74-78)."""
         if self.derivations is None:
             raise ValueError("materialized with store_derivations=False")
+        key = self._triple_key(s, p, o)
+        if key is None:
+            return []
         rows = (
             self.derivations.filter(
-                (F.col("s") == s) & (F.col("p") == p) & (F.col("o") == o)
+                (F.col("s") == key[0]) & (F.col("p") == key[1]) & (F.col("o") == key[2])
             )
             .select("rule_name", "round")
             .collect()
         )
         return [r.asDict() for r in rows]
+
+    def explain_full(self, s: str, p: str, o: str, max_depth: int = 64) -> list[dict]:
+        """Recursive explanations — the WorkingMemory.explain replica
+        (R14, WorkingMemory.scala:21-48): expand each derived supporting fact
+        through its derivation, cartesian-combine across body atoms, and
+        return every Explanation as {'facts': set of ASSERTED leaf triples
+        (encoded strings), 'rules': set of rule names}. A fact with no
+        derivation is its own leaf Explanation (:27). Driver-side anchored
+        recursion with memoized per-fact lookups — the query touches only the
+        cone above one triple, never the whole derivations table."""
+        if self.derivations is None:
+            raise ValueError("materialized with store_derivations=False")
+        key = self._triple_key(s, p, o)
+        if key is None:
+            return [{"facts": {(s, p, o)}, "rules": set()}]
+        dcache: dict = {}
+
+        def derivs(t):
+            if t not in dcache:
+                dcache[t] = (
+                    self.derivations.filter(
+                        (F.col("s") == t[0]) & (F.col("p") == t[1]) & (F.col("o") == t[2])
+                    )
+                    .select("rule_name", "body")
+                    .collect()
+                )
+            return dcache[t]
+
+        def expand(t, depth):
+            if depth > max_depth:
+                raise RecursionError("explanation depth exceeded")
+            rows = derivs(t)
+            if not rows:
+                return [{"facts": frozenset([t]), "rules": frozenset()}]
+            out = []
+            for r in rows:
+                parts = [expand(tuple(b), depth + 1) for b in r["body"]]
+                for combo in _iter_product(*parts):
+                    facts = frozenset().union(*[c["facts"] for c in combo])
+                    rules = frozenset([r["rule_name"]]).union(
+                        *[c["rules"] for c in combo]
+                    )
+                    out.append({"facts": facts, "rules": rules})
+            uniq = {(e["facts"], e["rules"]): e for e in out}
+            return list(uniq.values())
+
+        expls = expand(key, 0)
+        if self.term_dict is not None:
+            ids = sorted({i for e in expls for f in e["facts"] for i in f})
+            rmap = {
+                r["id"]: r["term"]
+                for r in self.term_dict.filter(F.col("id").isin(ids)).collect()
+            }
+            return [
+                {
+                    "facts": {tuple(rmap[i] for i in f) for f in e["facts"]},
+                    "rules": set(e["rules"]),
+                }
+                for e in expls
+            ]
+        return [{"facts": set(e["facts"]), "rules": set(e["rules"])} for e in expls]
 
 
 def empty_triples(spark: SparkSession) -> DataFrame:
@@ -136,7 +284,11 @@ class FixpointEngine:
     """Compile once, reuse for any number of datasets (README.md:9;
     RuleEngine.scala:8-9 immutable network / per-dataset WorkingMemory:50-51).
     The engine holds the validated RuleSet and per-materialization state lives
-    in the FixpointResult."""
+    in the FixpointResult.
+
+    ``dict_encode=True`` (default) runs the fixpoint loop on 8-byte term ids
+    (see dictionary.py); set False to run directly on encoded term strings
+    (useful for debugging — results are identical)."""
 
     def __init__(
         self,
@@ -148,6 +300,7 @@ class FixpointEngine:
         facts_refresh: int = 8,
         broadcast_rows: int = 200_000,
         max_rounds: int = 10_000,
+        dict_encode: bool = True,
     ) -> None:
         self.spark = spark
         self.ruleset = ruleset
@@ -161,47 +314,48 @@ class FixpointEngine:
         # broadcast semi/anti passes instead of a full facts shuffle
         self.broadcast_rows = broadcast_rows
         self.max_rounds = max_rounds
-        # precompute per-rule structure
-        self._rules = list(ruleset)
-        # const-(p,o) gate atoms across the rule set: the alpha memories whose
-        # emptiness is tracked per round (e.g. (?p rdf:type owl:TransitiveProperty))
-        self._gate_pairs = sorted(
-            {
-                (a[1], a[2])
-                for r in self._rules
-                for a in r.body
-                if _is_const(a[1]) and _is_const(a[2])
-            }
-        )
-        # constant predicates across rule bodies: the ONLY per-predicate keys
-        # rule/variant skipping ever consults (_atom_key), so the per-round
-        # stats collect is bounded by the RULE SET, not the data's predicate
-        # vocabulary (open RDF can have millions of distinct p)
-        self._gate_preds = sorted(
-            {a[1] for r in self._rules for a in r.body if _is_const(a[1])}
-        )
+        self.dict_encode = dict_encode
+        self._string_ctx = _compile_rules(ruleset)
+        self._const_terms = rule_constants(ruleset)
+        self._id_ctx_cache: dict[int, _CompiledRules] = {}
+
+    def _ctx_for_salt(self, salt: int) -> _CompiledRules:
+        """Compiled rules with long-id constants for a given dictionary salt.
+        One tiny Spark job per new salt (JVM-exact xxhash64 of the rule
+        constants); cached — the 'compile once, reuse' contract holds because
+        salt 0 serves essentially every dataset."""
+        if salt not in self._id_ctx_cache:
+            const_ids = lookup_term_ids(self.spark, self._const_terms, salt)
+            self._id_ctx_cache[salt] = _compile_rules(
+                encode_ruleset(self.ruleset, const_ids)
+            )
+        return self._id_ctx_cache[salt]
 
     # -- alpha sharing (C2/O4): memoize the FILTER stage per (df, blanked
     # signature); the variable projection is applied per atom, mirroring the
     # reference where AlphaNodes share selections but bindings are per-pattern.
     @staticmethod
-    def _atom_rel(cache: dict, df: DataFrame, atom) -> DataFrame:
+    def _atom_rel(
+        cache: dict, df: DataFrame, atom, triple_as: Optional[str] = None
+    ) -> DataFrame:
         key = (id(df), atom_signature(atom))
         if key not in cache:
             cache[key] = alpha_filter(df, atom)
-        return bind_vars(cache[key], atom)
+        return bind_vars(cache[key], atom, triple_as)
 
-    def _delta_stats(self, delta: DataFrame) -> tuple[dict, int, list[int]]:
+    def _delta_stats(
+        self, delta: DataFrame, ctx: _CompiledRules
+    ) -> tuple[dict, int, list[int]]:
         """One job -> (alpha counts, total, per-partition lineage).
 
         Alpha counts drive rule/variant skipping — the Rete left/right
         unlinking analogue (O5/R7/R8, ReteNodes.scala:88-93,153-158): a key
-        ("p", p) counts rows per predicate, and a key ("po", p, o) counts the
-        const-(p,o) gate atoms the rule set actually contains (e.g.
-        (?p rdf:type owl:SymmetricProperty)) — exactly the alpha memories
-        whose emptiness lets whole rules be skipped without launching a
-        single job. The partition histogram is the per-partition lineage the
-        north rule asks for.
+        ("p", p) counts rows per rule-relevant predicate, and a key
+        ("po", p, o) counts the const-(p,o) gate atoms the rule set actually
+        contains (e.g. (?p rdf:type owl:SymmetricProperty)) — exactly the
+        alpha memories whose emptiness lets whole rules be skipped without
+        launching a single job. The partition histogram is the per-partition
+        lineage the north rule asks for.
 
         BOUNDED: both grouping keys are gated to the rule set's constant
         predicates / (p,o) gate pairs, so collect size is
@@ -209,19 +363,19 @@ class FixpointEngine:
         vocabulary — open RDF with millions of distinct p collects the same
         handful of rows.
         """
-        if self._gate_pairs:
+        if ctx.gate_pairs:
             gate = reduce(
                 lambda a, b: a | b,
                 [
                     (F.col("p") == p) & (F.col("o") == o)
-                    for (p, o) in self._gate_pairs
+                    for (p, o) in ctx.gate_pairs
                 ],
             )
             gate_o = F.when(gate, F.col("o"))
         else:
             gate_o = F.lit(None).cast(delta.schema["o"].dataType)
-        if self._gate_preds:
-            gate_p = F.when(F.col("p").isin(list(self._gate_preds)), F.col("p"))
+        if ctx.gate_preds:
+            gate_p = F.when(F.col("p").isin(list(ctx.gate_preds)), F.col("p"))
         else:
             gate_p = F.lit(None).cast(delta.schema["p"].dataType)
         rows = (
@@ -259,13 +413,50 @@ class FixpointEngine:
     def _rule_keys(self, rule: Rule) -> list[Optional[tuple]]:
         return [self._atom_key(a) for a in rule.body]
 
+    def _write_meta(self, salt: int) -> None:
+        if not self.checkpoint_dir:
+            return
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        with open(
+            os.path.join(self.checkpoint_dir, "meta.json"), "w", encoding="utf-8"
+        ) as f:
+            json.dump({"ids": True, "salt": salt}, f)
+
     def materialize(self, asserted: DataFrame) -> FixpointResult:
         """Run to least fixpoint (processTriples, RuleEngine.scala:50-65)."""
         asserted = asserted.select(*TRIPLE_COLS)
-        facts = asserted.distinct().localCheckpoint(eager=True)
-        # the result's `asserted` is the checkpointed distinct — self-contained
-        # (safe to reuse outside a foreachBatch micro-batch) at zero extra cost
-        return self._run(facts, facts, round0=0, prior_metrics=[], derivations=None)
+        if not self.dict_encode:
+            facts = asserted.distinct().localCheckpoint(eager=True)
+            # the result's `asserted` is the checkpointed distinct —
+            # self-contained outside foreachBatch at zero extra cost
+            return self._run(
+                facts, facts, round0=0, prior_metrics=[], derivations=None,
+                ctx=self._string_ctx,
+            )
+        salt, term_dict = build_term_dict(self.spark, asserted, self._const_terms)
+        ctx = self._ctx_for_salt(salt)
+        self._write_meta(salt)
+        facts_ids = encode_ids(asserted, salt).distinct().localCheckpoint(eager=True)
+        raw = self._run(
+            facts_ids, facts_ids, round0=0, prior_metrics=[], derivations=None,
+            ctx=ctx,
+        )
+        return self._wrap_ids(raw, term_dict, salt)
+
+    def _wrap_ids(
+        self, raw: FixpointResult, term_dict: DataFrame, salt: int
+    ) -> FixpointResult:
+        return FixpointResult(
+            facts=decode_ids(raw.facts, term_dict),
+            asserted=decode_ids(raw.asserted, term_dict),
+            rounds=raw.rounds,
+            metrics=raw.metrics,
+            derivations=raw.derivations,
+            facts_ids=raw.facts,
+            asserted_ids=raw.asserted,
+            term_dict=term_dict,
+            salt=salt,
+        )
 
     def incremental(
         self, prev: FixpointResult, new_triples: DataFrame
@@ -278,12 +469,25 @@ class FixpointEngine:
         spo = list(TRIPLE_COLS)
         # checkpoint the incoming batch so the result never holds micro-batch
         # lineage (a foreachBatch DataFrame is only valid inside its batch)
-        new_triples = new_triples.select(*spo).distinct().localCheckpoint(eager=True)
-        delta = new_triples.join(prev.facts, on=spo, how="left_anti").localCheckpoint(
+        new_strings = new_triples.select(*spo).distinct().localCheckpoint(eager=True)
+        id_mode = prev.facts_ids is not None
+        if id_mode:
+            salt = prev.salt
+            term_dict = extend_term_dict(prev.term_dict, new_strings, salt)
+            ctx = self._ctx_for_salt(salt)
+            new_enc = encode_ids(new_strings, salt).localCheckpoint(eager=True)
+            prev_facts = prev.facts_ids
+            prev_asserted = prev.asserted_ids
+        else:
+            ctx = self._string_ctx
+            new_enc = new_strings
+            prev_facts = prev.facts
+            prev_asserted = prev.asserted
+        delta = new_enc.join(prev_facts, on=spo, how="left_anti").localCheckpoint(
             eager=True
         )
         d = delta.count()
-        facts = prev.facts.unionByName(delta).localCheckpoint(eager=True)
+        facts = prev_facts.unionByName(delta).localCheckpoint(eager=True)
         base = prev.facts_count + d
         # continue round numbering after the previous run so a shared
         # checkpoint_dir accumulates a consistent delta sequence (no
@@ -291,19 +495,26 @@ class FixpointEngine:
         round0 = prev.metrics[-1].round + 1 if prev.metrics else 1
         m0 = RoundMetrics(round0, 0, d, base, 0.0, 0, 0, [])
         self._write_round(round0, delta, m0)
-        res = self._run(
+        raw = self._run(
             facts,
-            prev.asserted.unionByName(new_triples),
+            prev_asserted.unionByName(new_enc),
             round0=round0,
             prior_metrics=list(prev.metrics) + [m0],
             derivations=prev.derivations,
             delta0=delta,
-            facts_old0=prev.facts,
+            facts_old0=prev_facts,
+            ctx=ctx,
         )
-        return res
+        if id_mode:
+            return self._wrap_ids(raw, term_dict, salt)
+        return raw
 
     def resume(self, asserted: DataFrame) -> FixpointResult:
-        """Restart from the last completed round under ``checkpoint_dir``."""
+        """Restart from the last completed round under ``checkpoint_dir``.
+        The per-round parquet already carries the representation (long ids or
+        strings); ``meta.json`` carries the dictionary salt, and the decode
+        dictionary is rebuilt statelessly from the asserted input + rule
+        constants (hash ids depend on nothing else)."""
         if not self.checkpoint_dir:
             raise ValueError("no checkpoint_dir configured")
         rounds = sorted(
@@ -313,6 +524,26 @@ class FixpointEngine:
         )
         if not rounds:
             return self.materialize(asserted)
+        asserted = asserted.select(*TRIPLE_COLS)
+        meta_path = os.path.join(self.checkpoint_dir, "meta.json")
+        id_mode = False
+        salt = 0
+        if os.path.exists(meta_path):
+            with open(meta_path, encoding="utf-8") as f:
+                meta = json.load(f)
+            id_mode = bool(meta.get("ids"))
+            salt = int(meta.get("salt", 0))
+        if id_mode:
+            _, term_dict = build_term_dict(
+                self.spark, asserted, self._const_terms, start_salt=salt, max_salt=1
+            )
+            ctx = self._ctx_for_salt(salt)
+            asserted_run = encode_ids(asserted, salt).distinct().localCheckpoint(
+                eager=True
+            )
+        else:
+            ctx = self._string_ctx
+            asserted_run = asserted
         deltas = [
             self.spark.read.parquet(os.path.join(self.checkpoint_dir, f"round={r:04d}"))
             .select(*TRIPLE_COLS)
@@ -326,17 +557,21 @@ class FixpointEngine:
                 metrics = [RoundMetrics(**json.loads(line)) for line in f if line.strip()]
             metrics = [m for m in metrics if m.round <= rounds[-1]]
         delta = deltas[-1]
-        return self._run(
+        raw = self._run(
             facts,
-            asserted,
+            asserted_run,
             round0=rounds[-1],
             prior_metrics=metrics,
             derivations=None,
             delta0=delta.localCheckpoint(eager=True),
             facts_old0=reduce(DataFrame.unionByName, deltas[:-1]).localCheckpoint(eager=True)
             if len(deltas) > 1
-            else empty_triples(self.spark),
+            else _empty_like(facts),
+            ctx=ctx,
         )
+        if id_mode:
+            return self._wrap_ids(raw, term_dict, salt)
+        return raw
 
     def _write_round(self, rnd: int, delta: DataFrame, m: RoundMetrics) -> None:
         if not self.checkpoint_dir:
@@ -358,16 +593,17 @@ class FixpointEngine:
         round0: int,
         prior_metrics: list[RoundMetrics],
         derivations: Optional[DataFrame],
+        ctx: _CompiledRules,
         delta0: Optional[DataFrame] = None,
         facts_old0: Optional[DataFrame] = None,
     ) -> FixpointResult:
         spark = self.spark
         spo = list(TRIPLE_COLS)
         delta = delta0 if delta0 is not None else facts
-        facts_old = facts_old0 if facts_old0 is not None else empty_triples(spark)
+        facts_old = facts_old0 if facts_old0 is not None else _empty_like(facts)
         # one aggregation job per delta yields total count, per-predicate counts
         # (variant skipping) and per-partition lineage (metrics) together
-        delta_preds, delta_total, delta_lineage = self._delta_stats(delta)
+        delta_preds, delta_total, delta_lineage = self._delta_stats(delta, ctx)
         facts_count = (
             prior_metrics[-1].facts_total
             if prior_metrics
@@ -379,11 +615,22 @@ class FixpointEngine:
             self._write_round(0, delta, m0)
         metrics = list(prior_metrics)
         if self.store_derivations and derivations is None:
+            spo_fields = [
+                T.StructField(c, facts.schema[c].dataType, False) for c in spo
+            ]
             derivations = spark.createDataFrame(
                 [],
                 T.StructType(
-                    [T.StructField(c, T.StringType(), False) for c in ("s", "p", "o", "rule_name")]
-                    + [T.StructField("round", T.IntegerType(), False)]
+                    spo_fields
+                    + [
+                        T.StructField("rule_name", T.StringType(), False),
+                        T.StructField("round", T.IntegerType(), False),
+                        T.StructField(
+                            "body",
+                            T.ArrayType(T.StructType(spo_fields), False),
+                            False,
+                        ),
+                    ]
                 ),
             )
 
@@ -391,7 +638,7 @@ class FixpointEngine:
         if round0 == 0 and delta0 is None:
             totals: dict = dict(delta_preds)
         else:
-            totals, _, _ = self._delta_stats(facts)
+            totals, _, _ = self._delta_stats(facts, ctx)
         # facts-as-of-previous-round counts (variant pruning): in the first
         # round facts_old is empty, so only the last delta variant of every
         # rule can produce anything
@@ -399,7 +646,7 @@ class FixpointEngine:
             totals_old: dict = {}
             facts_old_total = 0
         else:
-            totals_old, facts_old_total, _ = self._delta_stats(facts_old)
+            totals_old, facts_old_total, _ = self._delta_stats(facts_old, ctx)
 
         rnd = round0
         while rnd < self.max_rounds:
@@ -412,7 +659,7 @@ class FixpointEngine:
             derived_meta_parts: list[DataFrame] = []
             rules_skipped = 0
             variants_skipped = 0
-            for rule in self._rules:
+            for rule in ctx.rules:
                 keys = self._rule_keys(rule)
                 # whole-rule skip: an alpha memory (const p / const (p,o) atom)
                 # with zero matching facts overall
@@ -441,13 +688,24 @@ class FixpointEngine:
                         facts if j < i else (delta if j == i else facts_old)
                         for j in range(k)
                     ]
-                    bound = self._compile_variant(cache, dfs, rule)
+                    bound = self._compile_variant(
+                        cache, dfs, rule, with_triples=self.store_derivations
+                    )
                     heads = apply_head(bound, rule.head)
                     derived_parts.append(heads)
                     rule_fired = True
                     if self.store_derivations:
                         derived_meta_parts.append(
-                            heads.withColumn("rule_name", F.lit(rule.name or ""))
+                            apply_head(
+                                bound,
+                                rule.head,
+                                extra=[
+                                    F.array(
+                                        *[F.col(f"__t{j}") for j in range(k)]
+                                    ).alias("body"),
+                                    F.lit(rule.name or "").alias("rule_name"),
+                                ],
+                            )
                         )
                 if not rule_fired:
                     rules_skipped += 1
@@ -476,14 +734,20 @@ class FixpointEngine:
                         eager=True
                     )
             else:
-                new_delta = empty_triples(spark).localCheckpoint(eager=True)
-            new_preds, delta_out, lineage = self._delta_stats(new_delta)
+                new_delta = _empty_like(facts).localCheckpoint(eager=True)
+            new_preds, delta_out, lineage = self._delta_stats(new_delta, ctx)
 
             if self.store_derivations and delta_out > 0 and derived_meta_parts:
                 meta = reduce(DataFrame.unionByName, derived_meta_parts)
+                # ONE derivation per new fact, chosen deterministically —
+                # the reference stores only the first firing
+                # (RuleEngine.scala:74-78); determinism beats agenda order.
+                w = Window.partitionBy(*spo).orderBy("rule_name", F.col("body"))
                 round_derivs = (
                     meta.join(new_delta, on=spo, how="left_semi")
-                    .distinct()
+                    .withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
                     .withColumn("round", F.lit(rnd))
                 )
                 derivations = derivations.unionByName(round_derivs).localCheckpoint(
@@ -538,6 +802,11 @@ class FixpointEngine:
             derivations=derivations,
         )
 
-    def _compile_variant(self, cache: dict, dfs, rule: Rule) -> DataFrame:
-        rels = [self._atom_rel(cache, df, a) for df, a in zip(dfs, rule.body)]
+    def _compile_variant(
+        self, cache: dict, dfs, rule: Rule, with_triples: bool = False
+    ) -> DataFrame:
+        rels = [
+            self._atom_rel(cache, df, a, f"__t{i}" if with_triples else None)
+            for i, (df, a) in enumerate(zip(dfs, rule.body))
+        ]
         return join_chain(rels, rule.body)

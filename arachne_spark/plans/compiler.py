@@ -91,12 +91,20 @@ def alpha_filter(triples: DataFrame, atom: Atom) -> DataFrame:
     return triples.filter(cond) if cond is not None else triples
 
 
-def bind_vars(filtered: DataFrame, atom: Atom) -> DataFrame:
+def bind_vars(
+    filtered: DataFrame, atom: Atom, triple_as: Optional[str] = None
+) -> DataFrame:
     """Binding extraction (R4): project pattern positions to variable columns.
 
     A constant-only atom (no variables) returns a zero-column, 0-or-1-row
     DataFrame acting as an existence gate (R6 corner: facts are a set, so at
     most one row can match).
+
+    With ``triple_as`` set, the matched source triple rides along as a struct
+    column of that name — the provenance hook (R12): the reference's
+    Derivation keeps the token's triples (WorkingMemory.scala:72,
+    ReteNodes.scala:232), and here each body atom's triple survives the join
+    chain so head rows know their supporting facts.
     """
     cols: list[Column] = []
     seen: set[Var] = set()
@@ -104,8 +112,13 @@ def bind_vars(filtered: DataFrame, atom: Atom) -> DataFrame:
         if isinstance(t, Var) and t not in seen:
             seen.add(t)
             cols.append(F.col(c).alias(var_col(t)))
+    if triple_as is not None:
+        cols.append(F.struct(*_POS).alias(triple_as))
     if not cols:
         return filtered.limit(1).select()
+    if not any(isinstance(t, Var) for t in atom):
+        # constant-only existence gate still carries at most one row
+        return filtered.limit(1).select(*cols)
     return filtered.select(*cols)
 
 
@@ -150,8 +163,12 @@ def compile_body(
     )
 
 
-def apply_head(bound: DataFrame, head: Sequence[Atom]) -> DataFrame:
-    """Production node: instantiate head templates from bindings (R10)."""
+def apply_head(
+    bound: DataFrame, head: Sequence[Atom], extra: Sequence[Column] = ()
+) -> DataFrame:
+    """Production node: instantiate head templates from bindings (R10).
+    ``extra`` columns (e.g. the provenance body-triple array) are appended to
+    every head atom's projection."""
     outs = []
     for atom in head:
         cols = []
@@ -160,7 +177,7 @@ def apply_head(bound: DataFrame, head: Sequence[Atom]) -> DataFrame:
                 cols.append(F.col(var_col(t)).alias(c))
             else:
                 cols.append(F.lit(t).alias(c))
-        outs.append(bound.select(*cols))
+        outs.append(bound.select(*cols, *extra))
     return reduce(DataFrame.unionByName, outs)
 
 

@@ -1,0 +1,146 @@
+"""Dictionary encoding (hash term ids) and recursive provenance (R12/R14)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from arachne_spark.dictionary import (
+    build_term_dict,
+    decode_ids,
+    encode_ids,
+    encode_ruleset,
+    extend_term_dict,
+    lookup_term_ids,
+    rule_constants,
+)
+from arachne_spark.engine import FixpointEngine
+from arachne_spark.rules import load_rules_json
+from tests.conftest import spo_set, triples_df
+
+R = "p:r"
+
+
+def _trans_rules():
+    return load_rules_json(
+        [{"name": "tc", "body": [["?x", R, "?y"], ["?y", R, "?z"]],
+          "head": [["?x", R, "?z"]]}]
+    )
+
+
+def test_encode_decode_roundtrip(spark):
+    triples = [(f"<s{i}>", f"<{R}>", f'"lit {i}"@en') for i in range(50)]
+    df = triples_df(spark, triples)
+    salt, d = build_term_dict(spark, df, ["<extra:const>"])
+    assert salt == 0
+    ids = encode_ids(df, salt)
+    assert dict(ids.dtypes) == {"s": "bigint", "p": "bigint", "o": "bigint"}
+    back = decode_ids(ids, d)
+    assert spo_set(back) == set(triples)
+    # rule constants present in the dictionary even if absent from data
+    assert d.filter(F.col("term") == "<extra:const>").count() == 1
+
+
+def test_lookup_matches_column_encoding(spark):
+    df = triples_df(spark, [("<a>", "<p>", "<b>")])
+    ids = encode_ids(df, 0).collect()[0]
+    m = lookup_term_ids(spark, ["<a>", "<p>", "<b>"], 0)
+    assert (m["<a>"], m["<p>"], m["<b>"]) == (ids["s"], ids["p"], ids["o"])
+    # salted hashes differ from unsalted (and from each other)
+    m1 = lookup_term_ids(spark, ["<a>"], 1)
+    assert m1["<a>"] != m["<a>"]
+
+
+def test_extend_term_dict(spark):
+    df = triples_df(spark, [("<a>", "<p>", "<b>")])
+    _, d = build_term_dict(spark, df, [])
+    d2 = extend_term_dict(d, triples_df(spark, [("<a>", "<p>", "<c>")]), 0)
+    terms = {r["term"] for r in d2.collect()}
+    assert terms == {"<a>", "<p>", "<b>", "<c>"}
+
+
+def test_encode_ruleset_structure(spark):
+    rs = _trans_rules()
+    consts = rule_constants(rs)
+    assert consts == [f"<{R}>"]
+    m = lookup_term_ids(spark, consts, 0)
+    enc = encode_ruleset(rs, m)
+    rule = list(enc)[0]
+    assert rule.body[0][1] == m[f"<{R}>"]
+    assert rule.head[0][1] == m[f"<{R}>"]
+    assert rule.body[0][0].name == "x"  # vars untouched
+
+
+def test_dict_and_string_modes_agree(spark):
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(9)]
+    with_ids = FixpointEngine(spark, _trans_rules(), dict_encode=True).materialize(
+        triples_df(spark, chain)
+    )
+    plain = FixpointEngine(spark, _trans_rules(), dict_encode=False).materialize(
+        triples_df(spark, chain)
+    )
+    assert spo_set(with_ids.facts) == spo_set(plain.facts)
+    assert spo_set(with_ids.inferred_only()) == spo_set(plain.inferred_only())
+    assert with_ids.facts_count == plain.facts_count == 45  # 10 nodes: C(10,2)
+    # hot loop really runs on longs
+    assert dict(with_ids.facts_ids.dtypes)["s"] == "bigint"
+
+
+def test_head_constant_only_in_rules_decodes(spark):
+    """A head constant that never appears in the data must still decode
+    (it enters the dictionary via rule_constants)."""
+    rules = load_rules_json(
+        [{"name": "mark", "body": [["?x", R, None]],
+          "head": [["?x", "p:flag", "only:in:head"]]}]
+    )
+    res = FixpointEngine(spark, rules).materialize(
+        triples_df(spark, [("<a>", f"<{R}>", "<b>")])
+    )
+    assert ("<a>", "<p:flag>", "<only:in:head>") in spo_set(res.facts)
+
+
+@pytest.mark.parametrize("dict_encode", [True, False])
+def test_explain_full_recursive(spark, dict_encode):
+    """WorkingMemory.explain replica (WorkingMemory.scala:21-48): recursive
+    expansion bottoms out at ASSERTED leaves; rules accumulate along the way."""
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(4)]
+    eng = FixpointEngine(
+        spark, _trans_rules(), store_derivations=True, dict_encode=dict_encode
+    )
+    res = eng.materialize(triples_df(spark, chain))
+    # (n0, r, n2) is 1-step derived from two asserted triples
+    ex = res.explain_full("<n0>", f"<{R}>", "<n2>")
+    assert len(ex) == 1
+    assert ex[0]["facts"] == {("<n0>", f"<{R}>", "<n1>"), ("<n1>", f"<{R}>", "<n2>")}
+    assert ex[0]["rules"] == {"tc"}
+    # (n0, r, n4) recursively expands to ONLY asserted leaves
+    ex4 = res.explain_full("<n0>", f"<{R}>", "<n4>")
+    assert len(ex4) >= 1
+    for e in ex4:
+        assert e["facts"] <= set(chain)
+        assert e["rules"] == {"tc"}
+        # the union of leaves must cover the full span n0..n4
+        assert ("<n0>", f"<{R}>", "<n1>") in e["facts"]
+        assert ("<n3>", f"<{R}>", "<n4>") in e["facts"]
+    # asserted triple: no derivation -> it IS its own leaf explanation
+    ex_leaf = res.explain_full("<n0>", f"<{R}>", "<n1>")
+    assert ex_leaf == [{"facts": {("<n0>", f"<{R}>", "<n1>")}, "rules": set()}]
+    # direct record still available
+    assert res.explain("<n0>", f"<{R}>", "<n2>") == [{"rule_name": "tc", "round": 1}]
+    assert res.explain("<n0>", f"<{R}>", "<n1>") == []
+
+
+def test_explain_single_derivation_per_fact(spark):
+    """The reference records only the FIRST derivation of a fact
+    (RuleEngine.scala:74-78) — we store exactly one, deterministically."""
+    # diamond: two distinct 1-step proofs of (a r d)
+    data = [
+        ("<a>", f"<{R}>", "<b1>"), ("<b1>", f"<{R}>", "<d>"),
+        ("<a>", f"<{R}>", "<b2>"), ("<b2>", f"<{R}>", "<d>"),
+    ]
+    res = FixpointEngine(spark, _trans_rules(), store_derivations=True).materialize(
+        triples_df(spark, data)
+    )
+    assert len(res.explain("<a>", f"<{R}>", "<d>")) == 1
+    ex = res.explain_full("<a>", f"<{R}>", "<d>")
+    assert len(ex) == 1 and len(ex[0]["facts"]) == 2

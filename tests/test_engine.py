@@ -187,7 +187,7 @@ def test_delta_stats_bounded_on_open_predicate_vocabulary(spark):
             F.concat(F.lit("<n"), F.col("id") + 1, F.lit(">")).alias("o"),
         )
     )
-    counts, total, lineage = eng._delta_stats(many_preds)
+    counts, total, lineage = eng._delta_stats(many_preds, eng._string_ctx)
     assert total == 10_005
     assert counts[("p", f"<{R}>")] == 5
     # only gated keys are collected — never one per distinct data predicate
