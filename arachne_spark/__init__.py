@@ -17,6 +17,7 @@ from arachne_spark.model import (
 )
 from arachne_spark.rules import Var, Rule, RuleSet
 from arachne_spark.engine import FixpointEngine, FixpointResult
+from arachne_spark.owl2rules import owl_to_rules
 
 __all__ = [
     "TRIPLE_COLS",
@@ -29,6 +30,7 @@ __all__ = [
     "RuleSet",
     "FixpointEngine",
     "FixpointResult",
+    "owl_to_rules",
 ]
 
 __version__ = "0.1.0"

@@ -29,6 +29,8 @@ inside the loop.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -82,21 +84,30 @@ def build_term_dict(
     pass a decode dictionary needs anyway); per-salt verification is a single
     map-side-combinable aggregate over the checkpointed vocabulary.
     """
-    terms = triples.select(
-        F.explode(F.array(*[F.col(c) for c in TRIPLE_COLS])).alias("term")
-    )
+    # Per-column distincts, NOT explode-then-distinct: exploding to 3N rows
+    # before a high-cardinality distinct defeats map-side partial aggregation
+    # (each map task's hash table holds nearly the whole vocabulary and
+    # spills) — measured ~2x slower and anti-scaling with executor count.
+    # Column-wise, p/o collapse to tiny sets map-side and only the
+    # subject-like column carries its true cardinality; the second distinct
+    # then runs over ~|vocab| pre-deduped rows.
+    cols = [triples.select(F.col(c).alias("term")).distinct() for c in TRIPLE_COLS]
+    terms = reduce(DataFrame.unionByName, cols)
     if extra_terms:
         terms = terms.unionByName(
             spark.createDataFrame([(t,) for t in extra_terms], "term string")
         )
-    vocab = terms.distinct().localCheckpoint(eager=True)
+    vocab = terms.distinct()
     for salt in range(start_salt, start_salt + max_salt):
-        d = vocab.select("term", term_id_col(F.col("term"), salt).alias("id"))
+        d = vocab.select(
+            "term", term_id_col(F.col("term"), salt).alias("id")
+        ).localCheckpoint(eager=True)
         row = d.agg(
             F.count("*").alias("n"), F.countDistinct("id").alias("k")
         ).collect()[0]
         if row["n"] == row["k"]:
-            return salt, d.localCheckpoint(eager=True)
+            return salt, d
+        vocab = d.select("term")  # reuse the materialized vocab for retries
     raise RuntimeError(
         f"no collision-free salt in [{start_salt}, {start_salt + max_salt})"
     )

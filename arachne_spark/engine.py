@@ -722,7 +722,11 @@ class FixpointEngine:
                 # deltas, so this turns their cost from O(|facts| shuffle)
                 # into O(|facts| scan).
                 dd = derived.distinct().localCheckpoint(eager=True)
-                if dd.count() <= self.broadcast_rows:
+                n_dd = dd.count()
+                if n_dd == 0:
+                    # fixpoint reached: skip the anti-join jobs entirely
+                    new_delta = dd
+                elif n_dd <= self.broadcast_rows:
                     seen = facts.join(
                         F.broadcast(dd), on=spo, how="left_semi"
                     ).localCheckpoint(eager=True)

@@ -32,8 +32,15 @@ def build_triples(
     *,
     apply_canon: bool = True,
     min_score: float = 0.5,
+    dedup: bool = True,
 ) -> DataFrame:
-    """Extraction + linking + canonicalization -> encoded candidate triples."""
+    """Extraction + linking + canonicalization -> encoded candidate triples.
+
+    ``dedup=False`` skips the output distinct: when the triples feed
+    FixpointEngine (which dedups on 8-byte dictionary ids anyway), a distinct
+    here shuffles the full fat-string rows for nothing — measured as THE
+    extraction-side scaling bottleneck in separate-executor (local-cluster)
+    runs. Keep the default for standalone use of the triple table."""
     # Materialize the extraction output before linking: chaining
     # mapInPandas -> broadcast join -> pandas UDF -> window into one set of
     # stages stacks Python runners and re-serializes Arrow batches through
@@ -42,9 +49,12 @@ def build_triples(
     # mentions table — which the lineage story wants anyway.
     mentions = extract_mentions(code_files).localCheckpoint(eager=True)
     linked = link_mentions(mentions, entity_dict, min_score=min_score)
-    # linked feeds BOTH the edge triples and the type triples below — persist
-    # so the link plan (UDF + window) runs exactly once
-    linked = linked.persist()
+    # linked feeds BOTH the edge triples and the type triples below. It is
+    # deliberately NOT persisted: downstream of the checkpointed mentions it
+    # is just a broadcast join + projection (two cheap map passes), while
+    # DataFrame.persist() block-manager writes measured ~5x slower than the
+    # equivalent recompute in local-cluster (separate executor JVMs) — and on
+    # a real cluster a cache of a map-only derivation is pure overhead.
     if apply_canon:
         canon = canonicalize(entity_dict)
         linked = (
@@ -62,7 +72,8 @@ def build_triples(
             F.lit("<http://example.org/code/Kind/"), F.col("kind"), F.lit(">")
         ).alias("o"),
     )
-    return edge_triples.unionByName(type_triples).distinct()
+    out = edge_triples.unionByName(type_triples)
+    return out.distinct() if dedup else out
 
 
 def materialize_kg(

@@ -19,9 +19,20 @@ def build_session(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra: dict | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` (or env SPARK_GRAFT_MASTER) overrides the default
+    ``local[cores]`` — e.g. ``local-cluster[4,4,6144]`` runs 4 SEPARATE
+    executor JVMs with 4 cores / 6 GiB each, the closest sandbox stand-in for
+    a real cluster (each executor gets its own heap, GC, and shuffle state —
+    the resources a real 4x cluster multiplies). ``cores`` should then be the
+    TOTAL core count so shuffle partitions size correctly."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cores}]"
+    if master.startswith("local-cluster"):
+        # executors resolve the driver over loopback; avoid hostname lookups
+        os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
     # Python workers (pandas UDF / mapInPandas) must import arachne_spark no
     # matter the driver's cwd; on a real cluster this is spark-submit
     # --py-files, locally it's PYTHONPATH inheritance.
@@ -30,7 +41,7 @@ def build_session(
     if pkg_root not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
@@ -42,6 +53,9 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    exec_mem = os.environ.get("SPARK_GRAFT_EXECUTOR_MEM")
+    if exec_mem:
+        b = b.config("spark.executor.memory", exec_mem)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

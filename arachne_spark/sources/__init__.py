@@ -1,4 +1,6 @@
 from arachne_spark.sources.ntriples import read_ntriples, write_ntriples
+from arachne_spark.sources.rdfxml import parse_rdfxml, read_rdfxml
+from arachne_spark.sources.turtle import parse_turtle, read_turtle
 from arachne_spark.sources.tripleio import (
     read_facts_parquet,
     write_facts_parquet,
@@ -7,7 +9,11 @@ from arachne_spark.sources.tripleio import (
 )
 
 __all__ = [
+    "parse_rdfxml",
+    "parse_turtle",
     "read_ntriples",
+    "read_rdfxml",
+    "read_turtle",
     "write_ntriples",
     "read_facts_parquet",
     "write_facts_parquet",

@@ -45,7 +45,7 @@ def _steal_jiffies() -> int:
         return int(f.readline().split()[8])
 
 
-def run_level(cores: int, n_files: int) -> dict:
+def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cores)
     steal0 = _steal_jiffies()
     from pyspark.sql import functions as F
@@ -69,11 +69,23 @@ def run_level(cores: int, n_files: int) -> dict:
     from arachne_spark.session import build_session
 
     mult = int(os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "2"))
+    master = None
+    if mode == "local-cluster":
+        # SEPARATE executor JVMs: `cores` is the TOTAL; each executor gets a
+        # fixed core count and a fixed heap, so going N -> 4N multiplies
+        # heap/GC/shuffle resources exactly like a real cluster scale-out
+        # (the thing a single shared local[N] heap cannot express).
+        exec_cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
+        exec_mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144"))
+        n_exec = max(1, cores // exec_cores)
+        master = f"local-cluster[{n_exec},{exec_cores},{exec_mem_mb}]"
+        os.environ["SPARK_GRAFT_EXECUTOR_MEM"] = f"{exec_mem_mb - 1024}m"
     spark = build_session(
         f"scaling_{cores}",
         cores=cores,
         shuffle_partitions=cores * mult,
         extra={"spark.ui.showConsoleProgress": "false"},
+        master=master,
     )
     t_all = time.time()
 
@@ -81,7 +93,17 @@ def run_level(cores: int, n_files: int) -> dict:
     t0 = time.time()
     corpus = gen_code_files(spark, n_files)
     edict = gen_entity_dict(spark)
-    abox = build_triples(corpus, edict).localCheckpoint(eager=True)
+    # dedup=False: set semantics are enforced by the engine's id-level
+    # distinct (24-byte rows); a string-level distinct here was the
+    # extraction-side scaling bottleneck. mentions are checkpointed inside
+    # build_triples, so the engine's extra passes over this plan are cheap
+    # map-only broadcast joins.
+    # checkpoint the slim (s,p,o) rows WITHOUT a distinct: set semantics are
+    # the engine's job (id-level distinct on 24-byte rows); a string-level
+    # distinct was the round-1 extraction bottleneck, while an un-distinct'd
+    # checkpoint is one map pass + block write and makes the engine's
+    # dictionary/encode passes cheap scans instead of extraction re-runs.
+    abox = build_triples(corpus, edict, dedup=False).localCheckpoint(eager=True)
     n_abox = abox.count()
     t_extract = time.time() - t0
 
@@ -131,6 +153,7 @@ def run_level(cores: int, n_files: int) -> dict:
     wall = time.time() - t_all
     out = {
         "cores": cores,
+        "mode": mode,
         "n_files": n_files,
         "abox_triples": n_abox,
         "asserted": res.metrics[0].facts_total,
@@ -149,7 +172,7 @@ def run_level(cores: int, n_files: int) -> dict:
     return out
 
 
-def orchestrate(levels: list[int], reps: int, n_files: int) -> None:
+def orchestrate(levels: list[int], reps: int, n_files: int, mode: str = "local") -> None:
     runs: list[dict] = []
     for rep in range(reps):
         for cores in levels:
@@ -160,6 +183,8 @@ def orchestrate(levels: list[int], reps: int, n_files: int) -> None:
                 str(cores),
                 "--n-files",
                 str(n_files),
+                "--mode",
+                mode,
             ]
             p = subprocess.run(cmd, capture_output=True, text=True)
             line = [l for l in p.stdout.splitlines() if l.startswith("{")]
@@ -285,12 +310,14 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--n-files", type=int, default=200000)
     ap.add_argument("--run-level", type=int, default=None)
+    ap.add_argument("--mode", default="local", choices=["local", "local-cluster"])
     args = ap.parse_args()
     if args.run_level:
-        print(json.dumps(run_level(args.run_level, args.n_files)))
+        print(json.dumps(run_level(args.run_level, args.n_files, args.mode)))
     else:
         orchestrate(
-            [int(x) for x in args.levels.split(",")], args.reps, args.n_files
+            [int(x) for x in args.levels.split(",")], args.reps, args.n_files,
+            args.mode,
         )
 
 

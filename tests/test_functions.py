@@ -185,3 +185,23 @@ def test_resize_stub_aspect_preserving(spark):
     got = {r["media_id"]: (r["resized_w"], r["resized_h"]) for r in resize_stub(meta, 224).collect()}
     assert got["a"] == (224, 448)  # shorter side 448 -> 224, aspect kept
     assert got["b"] == (448, 224)
+
+
+def test_minhash_rows_per_band(spark):
+    """(b, r) banding: r>1 tightens the S-curve — near-identical docs still
+    collide in some band; moderately-similar docs collide in fewer bands
+    than with r=1. Default r=1 output must be unchanged (oracle formula)."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    d = docs_df(
+        spark,
+        [(1, base), (2, base + " tail"), (3, "other content entirely different here now")],
+    )
+    r1 = minhash_bands(d)
+    r1b = minhash_bands(d, rows_per_band=1)
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r1b.collect()))
+    from arachne_spark.functions.dedup import lsh_candidate_pairs as lcp
+
+    strict = {(r["id_a"], r["id_b"]) for r in lcp(d, rows_per_band=3).collect()}
+    loose = {(r["id_a"], r["id_b"]) for r in lcp(d, rows_per_band=1).collect()}
+    assert strict <= loose
+    assert (1, 2) in loose
