@@ -132,8 +132,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- engine / rete-replacement operators -----------------------------
 
     def r13_fixpoint_tc(spark, sf_dir):
-        """R13+O7: semi-naive fixpoint — transitive closure of the tree."""
-        res = FixpointEngine(spark, _trans_ruleset()).materialize(
+        """R13+O7: semi-naive fixpoint — transitive closure of the tree.
+        dict_encode forced ON so the id hot loop stays oracle-verified at
+        every scale (auto would pick strings below 1M rows)."""
+        res = FixpointEngine(spark, _trans_ruleset(), dict_encode=True).materialize(
             _tree_triples(spark, sf_dir)
         )
         return res.facts.select(
@@ -356,7 +358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  "head": [["?y", RDF_TYPE, "?s"]]},
             ]
         )
-        res = FixpointEngine(spark, rules).materialize(types.union(pairs))
+        # dict_encode forced ON: var-predicate rule shapes on the id path
+        res = FixpointEngine(spark, rules, dict_encode=True).materialize(
+            types.union(pairs)
+        )
         out = res.facts.filter(F.col("p") == F.lit(TYPE))
         return out.select(
             _dec_id(F.col("s")).alias("c_custkey"),

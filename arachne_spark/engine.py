@@ -286,9 +286,12 @@ class FixpointEngine:
     The engine holds the validated RuleSet and per-materialization state lives
     in the FixpointResult.
 
-    ``dict_encode=True`` (default) runs the fixpoint loop on 8-byte term ids
-    (see dictionary.py); set False to run directly on encoded term strings
-    (useful for debugging — results are identical)."""
+    ``dict_encode`` selects the hot-loop representation: True runs on 8-byte
+    term ids (see dictionary.py), False directly on encoded term strings
+    (results are identical — differential-tested), and "auto" (default)
+    counts the input once and uses ids at/above ``dict_threshold`` rows —
+    tiny inputs don't amortize the dictionary's fixed jobs, huge ones need
+    the 24-byte shuffle rows."""
 
     def __init__(
         self,
@@ -300,7 +303,8 @@ class FixpointEngine:
         facts_refresh: int = 8,
         broadcast_rows: int = 200_000,
         max_rounds: int = 10_000,
-        dict_encode: bool = True,
+        dict_encode: bool | str = "auto",
+        dict_threshold: int = 1_000_000,
     ) -> None:
         self.spark = spark
         self.ruleset = ruleset
@@ -315,6 +319,7 @@ class FixpointEngine:
         self.broadcast_rows = broadcast_rows
         self.max_rounds = max_rounds
         self.dict_encode = dict_encode
+        self.dict_threshold = dict_threshold
         self._string_ctx = _compile_rules(ruleset)
         self._const_terms = rule_constants(ruleset)
         self._id_ctx_cache: dict[int, _CompiledRules] = {}
@@ -425,7 +430,12 @@ class FixpointEngine:
     def materialize(self, asserted: DataFrame) -> FixpointResult:
         """Run to least fixpoint (processTriples, RuleEngine.scala:50-65)."""
         asserted = asserted.select(*TRIPLE_COLS)
-        if not self.dict_encode:
+        use_ids = self.dict_encode
+        if use_ids == "auto":
+            # one count pass (cheap for parquet/checkpointed inputs) decides
+            # whether the dictionary's fixed jobs amortize
+            use_ids = asserted.count() >= self.dict_threshold
+        if not use_ids:
             facts = asserted.distinct().localCheckpoint(eager=True)
             # the result's `asserted` is the checkpointed distinct —
             # self-contained outside foreachBatch at zero extra cost

@@ -144,3 +144,13 @@ def test_explain_single_derivation_per_fact(spark):
     assert len(res.explain("<a>", f"<{R}>", "<d>")) == 1
     ex = res.explain_full("<a>", f"<{R}>", "<d>")
     assert len(ex) == 1 and len(ex[0]["facts"]) == 2
+
+
+def test_auto_mode_picks_representation_by_size(spark):
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(6)]
+    df = triples_df(spark, chain)
+    auto_small = FixpointEngine(spark, _trans_rules()).materialize(df)
+    assert auto_small.facts_ids is None  # below threshold -> string mode
+    forced = FixpointEngine(spark, _trans_rules(), dict_threshold=3).materialize(df)
+    assert forced.facts_ids is not None  # above (tiny) threshold -> id mode
+    assert spo_set(auto_small.facts) == spo_set(forced.facts)
