@@ -142,6 +142,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dec_id(F.col("s")).alias("src"), _dec_id(F.col("o")).alias("dst")
         )
 
+    def r13_incremental(spark, sf_dir):
+        """Incremental maintenance (Rete reuse analogue, README.md:9): seed
+        the store from even-source edges, then assert the odd rest; the
+        incrementally-maintained fixpoint must equal the from-scratch
+        closure of ALL edges (same oracle as r13_fixpoint_tc)."""
+        t = _tree_triples(spark, sf_dir)
+        even = t.filter(_dec_id(F.col("s")) % 2 == 0)
+        odd = t.filter(_dec_id(F.col("s")) % 2 == 1)
+        eng = FixpointEngine(spark, _trans_ruleset(), dict_encode=True)
+        res = eng.incremental(eng.materialize(even), odd)
+        return res.facts.select(
+            _dec_id(F.col("s")).alias("src"), _dec_id(F.col("o")).alias("dst")
+        )
+
     def s6_inferred_only(spark, sf_dir):
         """S6: facts minus asserted (the --inferred-only export)."""
         res = FixpointEngine(spark, _trans_ruleset()).materialize(
@@ -402,6 +416,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, emb.filter(F.col("vec_id") < 5), k=5, n_centroids=8, nprobe=2
         )
 
+    def emb_neardup(spark, sf_dir):
+        """Embedding-cosine near-dup pairs (random-hyperplane LSH + exact
+        verify). The synthetic embeddings are random (max pairwise cosine
+        ~0.51), so near-dups are planted deterministically: every vector gets
+        a +0.01-on-dim-0 perturbed twin at vec_id+100000; the operator must
+        recover (i, i+100000) pairs whose LSH buckets collide."""
+        from arachne_spark.functions.similarity import cosine_neardup_pairs
+
+        emb = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+        )
+        twin = emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at(F.col("embedding"), 1) + 0.01),
+                F.slice(F.col("embedding"), 2, F.size(F.col("embedding")) - 1),
+            ).alias("embedding"),
+        )
+        return cosine_neardup_pairs(
+            emb.unionByName(twin), threshold=0.95, n_planes=4
+        )
+
     def dedup_simhash(spark, sf_dir):
         from arachne_spark.functions.dedup import simhash
 
@@ -452,6 +488,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         )
 
+    def events_sessionize(spark, sf_dir):
+        """Gap-based sessionization (window-function formulation; the
+        streaming applyInPandasWithState counterpart is pytest-verified)."""
+        from arachne_spark.streaming.sessions import sessionize
+
+        return sessionize(_t(spark, sf_dir, "events"), gap_seconds=1800)
+
     def agg_user_stats(spark, sf_dir):
         ev = _t(spark, sf_dir, "events")
         return ev.groupBy("event_type").agg(
@@ -462,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "r13_fixpoint_tc": r13_fixpoint_tc,
+        "r13_incremental": r13_incremental,
         "s6_inferred_only": s6_inferred_only,
         "r5_body_join": r5_body_join,
         "r3_repeated_var_guard": r3_repeated_var_guard,
@@ -480,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": knn_bruteforce,
         "ann_ivf_assign": ann_ivf_assign,
         "ann_ivf_topk": ann_ivf_topk,
+        "emb_neardup": emb_neardup,
         "dedup_simhash": dedup_simhash,
         "q4_anchored_descendants": q4_anchored_descendants,
         "text_langid": text_langid,
@@ -488,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": doc_fingerprint,
         "multimodal_meta": multimodal_meta,
         "events_windowed": events_windowed,
+        "events_sessionize": events_sessionize,
         "agg_user_stats": agg_user_stats,
     }
 
@@ -572,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
          "clo AS (SELECT src, dst FROM e UNION SELECT c.src, e.dst FROM clo c JOIN e ON c.dst = e.src)"
     return {
         "r13_fixpoint_tc": tc + " SELECT src, dst FROM clo",
+        "r13_incremental": tc + " SELECT src, dst FROM clo",
         "s6_inferred_only": tc + f" SELECT src, dst FROM clo EXCEPT {_TREE_SQL}",
         "r5_body_join": (
             "SELECT o.o_orderkey, c.c_nationkey AS n_nationkey "
@@ -677,6 +724,7 @@ def oracle_sql() -> dict[str, str]:
             " round(rawsim, 4) AS sim FROM sc) "
             "SELECT qid, vec_id, rank, sim FROM rk WHERE rank <= 5"
         ),
+        "emb_neardup": """WITH e AS (SELECT vec_id, embedding::DOUBLE[] de FROM embeddings), c AS (SELECT vec_id, de FROM e UNION ALL  SELECT vec_id + 100000, list_concat([de[1] + 0.01], de[2:]) FROM e), sg AS (SELECT vec_id, de, (CASE WHEN list_dot_product(de, list_transform(range(0, len(de)), d -> ((('0x'||substr(md5('42:'||0||':'||d),1,8))::BIGINT % 2000003) / 1000003.0 - 1.0))) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END) + (CASE WHEN list_dot_product(de, list_transform(range(0, len(de)), d -> ((('0x'||substr(md5('42:'||1||':'||d),1,8))::BIGINT % 2000003) / 1000003.0 - 1.0))) >= 0 THEN 2::BIGINT ELSE 0::BIGINT END) + (CASE WHEN list_dot_product(de, list_transform(range(0, len(de)), d -> ((('0x'||substr(md5('42:'||2||':'||d),1,8))::BIGINT % 2000003) / 1000003.0 - 1.0))) >= 0 THEN 4::BIGINT ELSE 0::BIGINT END) + (CASE WHEN list_dot_product(de, list_transform(range(0, len(de)), d -> ((('0x'||substr(md5('42:'||3||':'||d),1,8))::BIGINT % 2000003) / 1000003.0 - 1.0))) >= 0 THEN 8::BIGINT ELSE 0::BIGINT END) AS sig FROM c), p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,  round(list_dot_product(a.de, b.de) /   (sqrt(list_dot_product(a.de, a.de)) * sqrt(list_dot_product(b.de, b.de))), 4) AS sim  FROM sg a JOIN sg b ON a.sig = b.sig AND a.vec_id < b.vec_id) SELECT DISTINCT id_a, id_b, sim FROM p WHERE sim >= 0.95""",
         "dedup_simhash": _simhash_sql(),
         "q4_anchored_descendants": (
             f"WITH RECURSIVE e AS ({_TREE_SQL}), "
@@ -732,6 +780,17 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": (
             "SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n, "
             "round(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2"
+        ),
+        "events_sessionize": (
+            "WITH x AS (SELECT user_id, ts, value, "
+            " CASE WHEN epoch(ts) - epoch(lag(ts) OVER "
+            "  (PARTITION BY user_id ORDER BY ts)) > 1800 THEN 1 ELSE 0 END AS brk "
+            " FROM events), "
+            "s AS (SELECT user_id, ts, value, sum(brk) OVER "
+            " (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM x) "
+            "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+            " count(*) AS n_events, round(sum(value), 4) AS sum_value "
+            "FROM s GROUP BY user_id, sess"
         ),
         "agg_user_stats": (
             "SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users, "

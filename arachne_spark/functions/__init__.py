@@ -4,8 +4,10 @@ from arachne_spark.functions.dedup import (
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_neardup_pairs,
 )
 from arachne_spark.functions.similarity import (
+    cosine_neardup_pairs,
     cosine_topk,
     ivf_assign,
     ivf_topk,
@@ -23,6 +25,8 @@ __all__ = [
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "simhash_neardup_pairs",
+    "cosine_neardup_pairs",
     "cosine_topk",
     "ivf_assign",
     "ivf_topk",

@@ -11,8 +11,9 @@ DuckDB oracles in __spark_entry__.py compute the identical formulas).
              shuffles only (band, minhash) buckets — never the full text.
 - n-gram Jaccard: exact verification on candidate pairs via array intersect /
              union sizes.
-- SimHash:   64-bit sign-aggregated token hashes via bit arithmetic on
-             xxhash64 (JVM-side), grouped by band for near-dup blocking.
+- SimHash:   64-bit sign-aggregated token hashes via bit arithmetic on md5
+             halves (JVM-side, oracle-reproducible), banded for near-dup
+             blocking; exact Hamming verify on band-bucket candidates.
 """
 
 from __future__ import annotations
@@ -209,3 +210,45 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         for i in range(4)
     ]
     return out.select(id_col, "simhash", *bands)
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: candidates share at least one 16-bit
+    band (pigeonhole: any pair within Hamming distance 3 agrees on >= 1 of
+    the 4 bands), then the exact Hamming distance over the full 64 bits
+    verifies. Join key = (band index, band value) — bucket-local, never
+    all-pairs. Emits (id_a, id_b, hamming), id_a < id_b."""
+    sh = simhash(docs, id_col, text_col).localCheckpoint(eager=True)
+    bands = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"), F.col(f"band16_{i}").alias("bv")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "bi", "bv"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "bi", "bv"
+    )
+    return (
+        a.join(b, on=["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

@@ -102,6 +102,80 @@ def ivf_assign(
     )
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
+
+    Each vector gets a sign-bit signature over ``n_planes`` deterministic
+    pseudo-random hyperplanes (hash-seeded per dimension — engine-independent,
+    reproducible in SQL); candidate pairs share the FULL signature bucket
+    (SimHash property: P[sign match] = 1 - angle/pi per plane, so
+    high-cosine pairs collide with high probability), then exact cosine
+    verifies candidates. The join key is the signature — bucket-local,
+    never all-pairs; at 100 TB the bucket join is one shuffle on a
+    single long column.
+
+    Emits (id_a, id_b, sim) with id_a < id_b and sim >= threshold.
+    """
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("e"))
+    # Plane p's normal vector: md5-hash-seeded coefficients in [-1, 1) per
+    # dimension — engine-independent (the DuckDB oracle computes identical
+    # md5 strings), and each dot product runs as a FIXED left-to-right
+    # aggregate so the double summation (hence every sign bit) is
+    # bit-reproducible; a groupBy sum would have nondeterministic partial
+    # order. One projection per vector, no explode, no shuffle to sign.
+    def plane_coeffs(p: int):
+        return F.transform(
+            F.sequence(F.lit(0), F.size(F.col("e")) - 1),
+            lambda d: (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit(str(seed)),
+                                F.lit(str(p)),
+                                d.cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2000003
+            )
+            / 1000003.0
+            - 1.0,
+        )
+
+    sig = None
+    for p in range(n_planes):
+        bit = F.when(
+            _dot(F.col("e"), plane_coeffs(p)) >= 0, F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, p)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    bucketed = c.withColumn("sig", sig).localCheckpoint(eager=True)
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col("e").alias("ea"), "sig")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col("e").alias("eb"), "sig")
+    return (
+        a.join(b, on="sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine_sim(F.col("ea"), F.col("eb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+        .distinct()
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -205,3 +205,49 @@ def test_minhash_rows_per_band(spark):
     loose = {(r["id_a"], r["id_b"]) for r in lcp(d, rows_per_band=1).collect()}
     assert strict <= loose
     assert (1, 2) in loose
+
+
+def test_simhash_neardup_pairs(spark):
+    from arachne_spark.functions.dedup import simhash_neardup_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    d = docs_df(
+        spark,
+        [
+            (1, base),
+            (2, base + "extra"),  # tiny change -> small hamming distance
+            (3, "entirely different words " * 10),
+        ],
+    )
+    got = {(r["id_a"], r["id_b"]) for r in simhash_neardup_pairs(d, max_hamming=8).collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+    # identical docs: hamming 0
+    d2 = docs_df(spark, [(1, base), (2, base)])
+    rows = simhash_neardup_pairs(d2, max_hamming=0).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [(1, 2, 0)]
+
+
+def test_cosine_neardup_pairs(spark):
+    from arachne_spark.functions.similarity import cosine_neardup_pairs
+
+    emb = spark.createDataFrame(
+        [
+            (1, _vec(1, 0, 0, 0)),
+            (2, _vec(0.99, 0.01, 0, 0)),   # near-dup of 1
+            (3, _vec(0, 1, 0, 0)),          # orthogonal
+            (4, _vec(0, 0.98, 0.02, 0)),    # near-dup of 3
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in cosine_neardup_pairs(emb, threshold=0.95, n_planes=4).collect()}
+    # LSH recall: near-dup pairs that share the full signature are found,
+    # orthogonal pairs never pass the cosine verify
+    assert got <= {(1, 2), (3, 4)}
+    assert (1, 3) not in got and (1, 4) not in got
+    # exhaustive probe with 0 planes == brute force (single bucket)
+    all_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(emb, threshold=0.95, n_planes=1).collect()
+    }
+    assert all_pairs <= {(1, 2), (3, 4)}

@@ -60,3 +60,66 @@ def test_streaming_foreachbatch(spark, tmp_path):
     q2.awaitTermination(120)
     assert spo_set(mat.result.facts) == naive_fixpoint(batch1 + batch2, _rules())
     assert mat.batches_processed == 2
+
+
+def test_sessionize_batch(spark):
+    from arachne_spark.streaming.sessions import sessionize
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:10:00", 2.0),   # same session (10 min gap)
+        (1, "2024-01-01 11:30:00", 3.0),   # new session (>30 min)
+        (2, "2024-01-01 09:00:00", 5.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string, value double").select(
+        "user_id", F.to_timestamp("ts").alias("ts"), "value"
+    )
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"], r["sum_value"])
+        for r in sessionize(ev, gap_seconds=1800).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 10:00:00", 2, 3.0),
+        (1, "2024-01-01 11:30:00", 1, 3.0),
+        (2, "2024-01-01 09:00:00", 1, 5.0),
+    }
+
+
+def test_user_running_stats_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: the final emission per
+    user across micro-batches equals the batch groupBy on the same data."""
+    import os
+
+    from arachne_spark.streaming.sessions import user_running_stats_stream
+
+    src = str(tmp_path / "events_in")
+    os.makedirs(src, exist_ok=True)
+    b1 = spark.createDataFrame(
+        [(1, 2.0), (1, 3.0), (2, 5.0)], "user_id long, value double"
+    )
+    b2 = spark.createDataFrame(
+        [(1, 1.0), (3, 7.0)], "user_id long, value double"
+    )
+    b1.write.parquet(src + "/b1")
+    b2.write.parquet(src + "/b2")
+    stream = spark.readStream.schema("user_id long, value double").option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(src + "/*")
+    out = user_running_stats_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select user_id, n_events, sum_value from running_stats"
+    ).collect()
+    # last emission per user == full-data aggregate
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_events"], r["sum_value"])
+    assert final == {1: (3, 6.0), 2: (1, 5.0), 3: (1, 7.0)}
