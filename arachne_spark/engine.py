@@ -88,6 +88,7 @@ from arachne_spark.plans.compiler import (
     atom_signature,
     bind_vars,
     join_chain,
+    shared_join_chain,
 )
 from arachne_spark.rules import Any_, Rule, RuleSet, Var
 
@@ -819,8 +820,16 @@ class FixpointEngine:
     def _compile_variant(
         self, cache: dict, dfs, rule: Rule, with_triples: bool = False
     ) -> DataFrame:
-        rels = [
-            self._atom_rel(cache, df, a, f"__t{i}" if with_triples else None)
-            for i, (df, a) in enumerate(zip(dfs, rule.body))
-        ]
-        return join_chain(rels, rule.body)
+        if with_triples:
+            # provenance structs (__t0..) are rule-specific — no prefix
+            # sharing on the derivations path (off in benchmarks, matching
+            # the reference CLI default storeDerivations=false)
+            rels = [
+                self._atom_rel(cache, df, a, f"__t{i}")
+                for i, (df, a) in enumerate(zip(dfs, rule.body))
+            ]
+            return join_chain(rels, rule.body)
+        # C3 beta-prefix sharing: rules whose leading body atoms blank to the
+        # same pattern over the same delta-variant relations share ONE joined
+        # intermediate this round (ReteNodes JoinNodeSpec sharing analogue)
+        return shared_join_chain(cache, self._atom_rel, dfs, rule.body)

@@ -185,3 +185,79 @@ def apply_rule_once(triples: DataFrame, rule: Rule) -> DataFrame:
     """Single naive pass of one rule over one facts relation (tests/tooling)."""
     bound = compile_body([triples] * len(rule.body), rule.body)
     return apply_head(bound, rule.head)
+
+
+# ---------------------------------------------------------------------------
+# C3: beta-node (body-prefix) sharing across rules within a round
+# (RuleEngine.scala:13,22-27 keys JoinNodes by JoinNodeSpec — the pattern
+# list up to this depth; two rules with identical leading patterns share the
+# join chain). Here: prefixes identical up to VARIABLE RENAMING and evaluated
+# against the same relation sequence share one joined intermediate per round;
+# variables are canonicalized to first-occurrence indices (the blankVariables
+# idea extended to whole prefixes), and each rule projects the canonical
+# columns back to its own names at the end — a free projection.
+# ---------------------------------------------------------------------------
+
+def _cv(idx: int) -> str:
+    return f"cv_{idx}"
+
+
+def prefix_signature(atoms: Sequence[Atom]) -> tuple[tuple, dict]:
+    """(blanked signature of the whole prefix, Var -> canonical index).
+    Variable numbering is FIRST-OCCURRENCE-GLOBAL across the prefix, so the
+    join structure (which positions share variables) is part of the key."""
+    names: dict[Var, int] = {}
+    sig = []
+    for atom in atoms:
+        s = []
+        for t in atom:
+            if isinstance(t, Var):
+                s.append(("var", names.setdefault(t, len(names))))
+            elif isinstance(t, Any_):
+                s.append(("any", None))
+            else:
+                s.append(("const", t))
+        sig.append(tuple(s))
+    return tuple(sig), names
+
+
+def shared_join_chain(
+    cache: dict,
+    atom_rel,
+    dfs: Sequence[DataFrame],
+    atoms: Sequence[Atom],
+) -> DataFrame:
+    """join_chain with per-prefix memoization. ``cache`` is the round-scoped
+    dict also used for alpha sharing; ``atom_rel(cache, df, atom)`` supplies
+    the bound atom relation. The cached intermediates carry canonical
+    column names (cv_0, cv_1, ...)."""
+    cur: Optional[DataFrame] = None
+    names: dict[Var, int] = {}
+    bound: set[Var] = set()
+    for i, (df, atom) in enumerate(zip(dfs, atoms)):
+        sig, names = prefix_signature(atoms[: i + 1])
+        key = ("beta", tuple(id(d) for d in dfs[: i + 1]), sig)
+        if key in cache:
+            cur = cache[key]
+            bound |= set(atom_vars(atom))
+            continue
+        rel = atom_rel(cache, df, atom)
+        avars = atom_vars(atom)
+        if avars:
+            rel = rel.select(
+                *[F.col(var_col(v)).alias(_cv(names[v])) for v in avars]
+            )
+        if cur is None:
+            cur = rel
+        else:
+            shared = sorted(names[v] for v in bound & set(avars))
+            if shared and avars:
+                cur = cur.join(rel, on=[_cv(ix) for ix in shared], how="inner")
+            else:
+                cur = cur.crossJoin(rel)
+        bound |= set(avars)
+        cache[key] = cur
+    assert cur is not None
+    # project canonical columns back to this rule's variable names
+    out_cols = [F.col(_cv(ix)).alias(var_col(v)) for v, ix in names.items()]
+    return cur.select(*out_cols) if out_cols else cur

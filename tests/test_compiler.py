@@ -102,3 +102,53 @@ def test_atom_signature_sharing_key():
     assert atom_signature((X, "<p>", Y)) == atom_signature((Z, "<p>", X))
     assert atom_signature((X, "<p>", X)) != atom_signature((X, "<p>", Y))
     assert atom_signature((X, ANY, Y)) != atom_signature((X, "<p>", Y))
+
+
+def test_beta_prefix_sharing(spark):
+    """C3: rules with alpha-identical leading atoms (up to variable renaming)
+    share one joined intermediate per round; results are unchanged."""
+    from arachne_spark.plans.compiler import shared_join_chain, prefix_signature
+    from arachne_spark.engine import FixpointEngine
+    from arachne_spark.rules import Rule, Var, load_rules_json
+    from arachne_spark.oracle import naive_fixpoint
+    from tests.conftest import spo_set, triples_df
+
+    # cls-hv1/cls-hv2 shape: shared 2-atom prefix, different third atom
+    rules = load_rules_json(
+        [
+            {"name": "hv1",
+             "body": [["?c", "p:onProp", "?p"], ["?c", "p:hasVal", "?y"], ["?x", "p:type", "?c"]],
+             "head": [["?x", "p:rel", "?y"]]},
+            {"name": "hv2",
+             "body": [["?k", "p:onProp", "?q"], ["?k", "p:hasVal", "?v"], ["?z", "p:other", "?k"]],
+             "head": [["?z", "p:rel2", "?v"]]},
+        ]
+    )
+    data = [
+        ("<R1>", "<p:onProp>", "<prop>"),
+        ("<R1>", "<p:hasVal>", "<val>"),
+        ("<i>", "<p:type>", "<R1>"),
+        ("<j>", "<p:other>", "<R1>"),
+    ]
+    res = FixpointEngine(spark, rules, dict_encode=False).materialize(
+        triples_df(spark, data)
+    )
+    assert spo_set(res.facts) == naive_fixpoint(data, rules)
+    # the two bodies share the canonical 2-atom prefix signature
+    r1, r2 = list(rules)
+    sig1, _ = prefix_signature(r1.body[:2])
+    sig2, _ = prefix_signature(r2.body[:2])
+    assert sig1 == sig2
+    # and compiling both against the same relations populates ONE beta entry
+    # per shared prefix depth (cache-hit on the second rule)
+    eng = FixpointEngine(spark, rules, dict_encode=False)
+    facts = triples_df(spark, data).localCheckpoint(eager=True)
+    cache = {}
+    dfs = [facts] * 3
+    eng._compile_variant(cache, dfs, r1)
+    n_beta_after_first = sum(1 for k in cache if k[0] == "beta")
+    eng._compile_variant(cache, dfs, r2)
+    n_beta_after_second = sum(1 for k in cache if k[0] == "beta")
+    # depths 1 and 2 shared; only depth 3 added a new entry
+    assert n_beta_after_first == 3
+    assert n_beta_after_second == 4

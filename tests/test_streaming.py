@@ -123,3 +123,51 @@ def test_user_running_stats_stream_matches_batch(spark, tmp_path):
     for r in rows:
         final[r["user_id"]] = (r["n_events"], r["sum_value"])
     assert final == {1: (3, 6.0), 2: (1, 5.0), 3: (1, 7.0)}
+
+
+def test_windowed_counts_stream_with_watermark(spark, tmp_path):
+    """Streaming watermarked window agg: append mode finalizes a window once
+    the watermark passes; results equal the batch formula on the same data,
+    and an event later than the watermark delay is dropped."""
+    import os
+
+    from arachne_spark.streaming.windows import windowed_counts_stream
+
+    src = str(tmp_path / "ev_in")
+    os.makedirs(src, exist_ok=True)
+    early = [
+        ("2024-01-01 10:05:00", "click", 1.0),
+        ("2024-01-01 10:15:00", "click", 2.0),
+        ("2024-01-01 10:20:00", "view", 5.0),
+    ]
+    # advances watermark far past the 10:00 window (+2h delay)
+    late_batch = [("2024-01-01 15:00:00", "click", 1.0)]
+    # older than watermark -> must be DROPPED
+    too_late = [("2024-01-01 10:30:00", "click", 99.0)]
+    for i, rows in enumerate([early, late_batch, too_late]):
+        spark.createDataFrame(rows, "ts string, event_type string, value double").select(
+            F.to_timestamp("ts").alias("ts"), "event_type", "value"
+        ).write.parquet(f"{src}/b{i}")
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        windowed_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (str(r["ws"]), r["event_type"], r["n"], r["sum_value"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    # the 10:00 window finalized WITHOUT the too-late 99.0 event
+    assert ("2024-01-01 10:00:00", "click", 2, 3.0) in rows
+    assert ("2024-01-01 10:00:00", "view", 1, 5.0) in rows
+    assert not any(r[3] == 99.0 or r[3] == 102.0 for r in rows)
