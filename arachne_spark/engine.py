@@ -419,14 +419,17 @@ class FixpointEngine:
     def _rule_keys(self, rule: Rule) -> list[Optional[tuple]]:
         return [self._atom_key(a) for a in rule.body]
 
-    def _write_meta(self, salt: int) -> None:
+    def _write_meta(self, *, ids: bool, salt: int = 0) -> None:
+        """Record the checkpoint representation. The string path writes
+        ids=false explicitly so a dir reused across modes can never resume
+        long-id parquets with the wrong decoder (or vice versa)."""
         if not self.checkpoint_dir:
             return
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         with open(
             os.path.join(self.checkpoint_dir, "meta.json"), "w", encoding="utf-8"
         ) as f:
-            json.dump({"ids": True, "salt": salt}, f)
+            json.dump({"ids": ids, "salt": salt}, f)
 
     def materialize(self, asserted: DataFrame) -> FixpointResult:
         """Run to least fixpoint (processTriples, RuleEngine.scala:50-65)."""
@@ -437,6 +440,7 @@ class FixpointEngine:
             # whether the dictionary's fixed jobs amortize
             use_ids = asserted.count() >= self.dict_threshold
         if not use_ids:
+            self._write_meta(ids=False)
             facts = asserted.distinct().localCheckpoint(eager=True)
             # the result's `asserted` is the checkpointed distinct —
             # self-contained outside foreachBatch at zero extra cost
@@ -446,7 +450,7 @@ class FixpointEngine:
             )
         salt, term_dict = build_term_dict(self.spark, asserted, self._const_terms)
         ctx = self._ctx_for_salt(salt)
-        self._write_meta(salt)
+        self._write_meta(ids=True, salt=salt)
         facts_ids = encode_ids(asserted, salt).distinct().localCheckpoint(eager=True)
         raw = self._run(
             facts_ids, facts_ids, round0=0, prior_metrics=[], derivations=None,

@@ -193,3 +193,22 @@ def test_delta_stats_bounded_on_open_predicate_vocabulary(spark):
     # only gated keys are collected — never one per distinct data predicate
     assert len(counts) <= 4
     assert sum(lineage) == 10_005
+
+
+def test_checkpoint_dir_mode_switch_is_safe(spark, tmp_path):
+    """A dir written by an id-mode run then reused by a string-mode run must
+    resume with the LATEST representation (meta.json is rewritten)."""
+    import shutil
+
+    ckpt = str(tmp_path / "ck")
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(5)]
+    df = triples_df(spark, chain)
+    eng_id = FixpointEngine(spark, _trans_rules(), checkpoint_dir=ckpt, dict_encode=True)
+    expect = spo_set(eng_id.materialize(df).facts)
+    # reuse the SAME dir in string mode (fresh rounds overwrite; meta flips)
+    shutil.rmtree(ckpt)
+    eng_str = FixpointEngine(spark, _trans_rules(), checkpoint_dir=ckpt, dict_encode=False)
+    eng_str.materialize(df)
+    res = FixpointEngine(spark, _trans_rules(), checkpoint_dir=ckpt).resume(df)
+    assert res.facts_ids is None  # resumed as strings per meta.json
+    assert spo_set(res.facts) == expect

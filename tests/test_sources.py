@@ -124,3 +124,30 @@ def test_ntriples_quote_backslash_uchar_escapes(spark, tmp_path):
     rows = {r["p"]: r["o"] for r in read_ntriples(spark, str(p)).collect()}
     assert rows["<http://ex/p1>"] == rows["<http://ex/p2>"]
     assert rows["<http://ex/p3>"] == rows["<http://ex/p4>"]
+
+
+def test_read_turtle_and_rdfxml_dataframes(spark, tmp_path):
+    from arachne_spark.sources.turtle import read_turtle
+    from arachne_spark.sources.rdfxml import read_rdfxml
+
+    ttl = tmp_path / "t.ttl"
+    ttl.write_text(
+        "@prefix : <http://ex/> .\n:a :p :b ; :q \"lit\"^^<http://www.w3.org/2001/XMLSchema#int> .\n",
+        encoding="utf-8",
+    )
+    rows = {tuple(r) for r in read_turtle(spark, str(ttl)).collect()}
+    assert ("<http://ex/a>", "<http://ex/p>", "<http://ex/b>") in rows
+    assert ("<http://ex/a>", "<http://ex/q>", '"lit"^^<http://www.w3.org/2001/XMLSchema#int>') in rows
+
+    rdf = tmp_path / "t.owl"
+    rdf.write_text(
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://ex/">\n'
+        '  <rdf:Description rdf:about="http://ex/a">'
+        '<ex:p rdf:resource="http://ex/b"/></rdf:Description>\n'
+        "</rdf:RDF>",
+        encoding="utf-8",
+    )
+    rows2 = {tuple(r) for r in read_rdfxml(spark, str(rdf)).collect()}
+    assert rows2 == {("<http://ex/a>", "<http://ex/p>", "<http://ex/b>")}
