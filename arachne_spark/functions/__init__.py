@@ -11,6 +11,7 @@ from arachne_spark.functions.similarity import (
     cosine_topk,
     ivf_assign,
     ivf_topk,
+    kmeans_fit,
 )
 from arachne_spark.functions.text import (
     langid,
@@ -30,6 +31,7 @@ __all__ = [
     "cosine_topk",
     "ivf_assign",
     "ivf_topk",
+    "kmeans_fit",
     "langid",
     "quality_features",
     "token_counts",

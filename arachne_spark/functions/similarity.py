@@ -219,3 +219,44 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", id_col, "rank", F.round("sim", 4).alias("sim"))
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column — the real
+    centroid source for the IVF scale path (ivf_assign/ivf_topk accept the
+    result via ``centroids=``).
+
+    Per iteration: one broadcast-centroid assignment pass over the corpus
+    (map-only) + one elementwise-mean aggregation (posexplode to (cid, dim)
+    -> avg -> reassemble). k and dim are small, so every shuffle is
+    k x dim-sized; the corpus is only ever scanned, never shuffled.
+    Deterministic: init = vectors with id < k; ties in assignment break on
+    centroid id (row_number ordering in ivf_assign)."""
+    cents = _default_centroids(corpus, k, id_col, vec_col).localCheckpoint(eager=True)
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("e"))
+    for _ in range(iters):
+        assign = ivf_assign(c, id_col=id_col, vec_col="e", centroids=cents)
+        dims = (
+            c.join(assign, on=id_col)
+            .select("centroid_id", F.posexplode(F.col("e")).alias("d", "x"))
+            .groupBy("centroid_id", "d")
+            .agg(F.avg("x").alias("m"))
+        )
+        cents = (
+            dims.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("ce")
+            )
+            .select(F.col("centroid_id").alias("cid"), "ce")
+            .localCheckpoint(eager=True)
+        )
+    return cents

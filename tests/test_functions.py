@@ -251,3 +251,25 @@ def test_cosine_neardup_pairs(spark):
         for r in cosine_neardup_pairs(emb, threshold=0.95, n_planes=1).collect()
     }
     assert all_pairs <= {(1, 2), (3, 4)}
+
+
+def test_kmeans_fit_recovers_clusters(spark):
+    from arachne_spark.functions.similarity import ivf_assign, kmeans_fit
+
+    # two tight clusters around (10,0) and (0,10); ids 0/1 start one in each
+    pts = [(0, _vec(10, 0)), (1, _vec(0, 10))] + [
+        (i, _vec(10 + (i % 3) * 0.1, (i % 5) * 0.1)) for i in range(2, 12)
+    ] + [
+        (i, _vec((i % 3) * 0.1, 10 + (i % 5) * 0.1)) for i in range(12, 22)
+    ]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(emb, k=2, iters=4)
+    got = {r["cid"]: r["ce"] for r in cents.collect()}
+    assert len(got) == 2
+    # centroid 0 ~ (10ish, small), centroid 1 ~ (small, 10ish)
+    assert got[0][0] > 5 and got[0][1] < 5
+    assert got[1][0] < 5 and got[1][1] > 5
+    # assignment with fitted centroids separates the clusters perfectly
+    assign = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(emb, centroids=cents).collect()}
+    assert all(assign[i] == 0 for i in range(2, 12))
+    assert all(assign[i] == 1 for i in range(12, 22))
