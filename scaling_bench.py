@@ -240,6 +240,8 @@ def orchestrate(levels: list[int], reps: int, n_files: int, mode: str = "local")
 
 
 def _write_bench_md(s: dict) -> None:
+    # NOTE: writes the mechanical per-study summary to BENCH_LAST_RUN.md;
+    # BENCH.md is the curated analysis and must not be clobbered.
     lo, hi = min(s["levels"]), max(s["levels"])
     b_lo, b_hi = s["best"][str(lo)], s["best"][str(hi)]
     lines = [
@@ -300,7 +302,7 @@ def _write_bench_md(s: dict) -> None:
         "`metrics.jsonl` line per round; `FixpointEngine.resume` restarts from",
         "the last completed round (tests/test_engine.py::test_checkpoint_resume).",
     ]
-    with open("BENCH.md", "w", encoding="utf-8") as f:
+    with open("BENCH_LAST_RUN.md", "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
 
 
