@@ -270,6 +270,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         clo = transitive_closure(_tree_edges(spark, sf_dir))
         return clo.filter(F.col("dst") == 1).select("src")
 
+    def q3_types(spark, sf_dir):
+        """Q3: getTypes after OWL-RL subclass closure (customer 1's nation,
+        its region, and the world root)."""
+        from arachne_spark.model import RDF_TYPE, RDFS_SUBCLASSOF, encode_iri
+        from arachne_spark.owlrl import owl_rl_core
+
+        customer = _t(spark, sf_dir, "customer")
+        nation = _t(spark, sf_dir, "nation")
+        region = _t(spark, sf_dir, "region")
+        TYPE, SCO = encode_iri(RDF_TYPE), encode_iri(RDFS_SUBCLASSOF)
+        asserted = (
+            customer.select(
+                _enc_id("c", F.col("c_custkey")).alias("s"),
+                F.lit(TYPE).alias("p"),
+                _enc_id("nat", F.col("c_nationkey")).alias("o"),
+            )
+            .union(
+                nation.select(
+                    _enc_id("nat", F.col("n_nationkey")).alias("s"),
+                    F.lit(SCO).alias("p"),
+                    _enc_id("reg", F.col("n_regionkey")).alias("o"),
+                )
+            )
+            .union(
+                region.select(
+                    _enc_id("reg", F.col("r_regionkey")).alias("s"),
+                    F.lit(SCO).alias("p"),
+                    F.lit("<world>").alias("o"),
+                )
+            )
+        )
+        res = FixpointEngine(spark, owl_rl_core()).materialize(asserted)
+        t = Reasoner(res.facts).types("c1")
+        return t.select(
+            F.regexp_replace(F.col("cls"), r"[<>]", "").alias("cls")
+        )
+
+    def q5_anchored_ancestors(spark, sf_dir):
+        """Q5: getSuperClasses — anchored frontier walk UP the tree from n5."""
+        from arachne_spark.model import RDFS_SUBCLASSOF, encode_iri
+
+        sco = _tree_edges(spark, sf_dir).select(
+            _enc_id("n", F.col("src")).alias("s"),
+            F.lit(encode_iri(RDFS_SUBCLASSOF)).alias("p"),
+            _enc_id("n", F.col("dst")).alias("o"),
+        )
+        sups = Reasoner(sco).superclasses("n5")
+        return sups.select(_dec_id(F.col("cls")).alias("dst"))
+
     def q6_inverse_values(spark, sf_dir):
         """Q6: inverse object-property values (^p lookup)."""
         li = _t(spark, sf_dir, "lineitem")
@@ -513,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_fact_dedup": r11_fact_dedup,
         "q1_instances": q1_instances,
         "q4_property_path": q4_property_path,
+        "q3_types": q3_types,
+        "q5_anchored_ancestors": q5_anchored_ancestors,
         "q6_inverse_values": q6_inverse_values,
         "q13_bgp_select": q13_bgp_select,
         "b3_indirect_types": b3_indirect_types,
@@ -638,6 +689,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
         ),
         "q4_property_path": tc + " SELECT src FROM clo WHERE dst = 1",
+        "q3_types": (
+            "SELECT 'nat' || c_nationkey AS cls FROM customer WHERE c_custkey = 1 "
+            "UNION SELECT 'reg' || n_regionkey FROM customer "
+            " JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey = 1 "
+            "UNION SELECT 'world'"
+        ),
+        "q5_anchored_ancestors": (
+            f"WITH RECURSIVE e AS ({_TREE_SQL}), "
+            "a AS (SELECT dst FROM e WHERE src = 5 "
+            " UNION SELECT e.dst FROM e JOIN a ON e.src = a.dst) "
+            "SELECT dst FROM a"
+        ),
         "q6_inverse_values": (
             "SELECT DISTINCT l_suppkey FROM lineitem WHERE l_partkey = 42"
         ),
