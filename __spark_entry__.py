@@ -320,17 +320,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sups.select(_dec_id(F.col("cls")).alias("dst"))
 
     def q6_inverse_values(spark, sf_dir):
-        """Q6: inverse object-property values (^p lookup)."""
+        """Q6: inverse object-property values — through the facade
+        (Reasoner.object_property_values(..., inverse=True), facade.py),
+        so the oracle row certifies the shipped library path."""
         li = _t(spark, sf_dir, "lineitem")
         facts = li.select(
             _enc_id("s", F.col("l_suppkey")).alias("s"),
             F.lit("<p:supplies>").alias("p"),
             _enc_id("pt", F.col("l_partkey")).alias("o"),
         ).distinct()
-        vals = (
-            facts.filter(F.col("o") == "<pt42>").select("s").distinct()
+        vals = Reasoner(facts).object_property_values(
+            "pt42", "p:supplies", inverse=True
         )
-        return vals.select(_dec_id(F.col("s")).alias("l_suppkey"))
+        return vals.select(_dec_id(F.col("value")).alias("l_suppkey"))
 
     def q13_bgp_select(spark, sf_dir):
         """Q13: 3-atom BGP SELECT (self-joins of the facts view)."""

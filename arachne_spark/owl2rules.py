@@ -22,9 +22,32 @@ subset that survives the reference's Bridge filter, Bridge.scala:19-32):
   - owl:propertyChainAxiom over RDF lists of any length
   - SWRL Imp rules with IndividualPropertyAtom / ClassAtom bodies and heads
     (test1.ttl:174-215)
-NOT covered (no positive-Datalog form; the reference's Jena bridge drops
-them too): someValuesFrom/allValuesFrom subclass heads (would need bnode
-invention / makeSkolem builtins), cardinality, negative atoms.
+  - COMPOSITIONAL class expressions in subClassOf/equivalentClass axioms —
+    the axiom's sub/super class expression trees are expanded structurally
+    into body/head triple patterns of ONE rule, never materializing
+    intermediate bnode-membership facts (matching the compositional shape of
+    the reference's owl-to-rules translation, which emits Jena rules that
+    cannot mention bnodes at all):
+      * someValuesFrom in SUBCLASS position (OWL RL cls-svf1/svf2):
+        `∃p.C ⊑ D`  ⇒  (x p y) ∧ (y type C) → (x type D)
+        (filler owl:Thing drops the (y type C) conjunct)
+      * allValuesFrom in SUPERCLASS position (OWL RL cls-avf):
+        `C ⊑ ∀p.D`  ⇒  (x type C) ∧ (x p y) → (y type D)
+      * hasSelf both positions: (x p x) ↔ (x type R…)
+      * intersectionOf: conjunction in subclass position (cls-int1),
+        one head conjunct per member in superclass position (cls-int2)
+      * unionOf in subclass position (cls-uni): one rule per disjunct
+      * nesting of all of the above (DNF expansion on the body side)
+  - owl:disjointWith (OWL RL cax-dw): membership in both classes derives
+    (x type owl:Nothing), which powers the facade's isConsistent (Q10)
+  - ABox type-assertions to allValuesFrom restriction bnodes:
+    (a type [∀p.D]) ⇒ (a p y) → (y type D)
+NOT covered — every occurrence is COUNTED in RuleSet.dropped with a reason
+in drop_log (the reference's Bridge counts every dropped rule the same way,
+Bridge.scala:19-32): someValuesFrom/unionOf/oneOf in superclass position
+(existential/disjunctive heads need bnode invention / makeSkolem builtins),
+allValuesFrom in subclass position, complementOf, cardinality restrictions,
+negative atoms.
 """
 
 from __future__ import annotations
@@ -68,6 +91,27 @@ TRANSP = encode_iri(OWL + "TransitiveProperty")
 SYMP = encode_iri(OWL + "SymmetricProperty")
 FUNP = encode_iri(OWL + "FunctionalProperty")
 IFP = encode_iri(OWL + "InverseFunctionalProperty")
+SVF = encode_iri(OWL + "someValuesFrom")
+AVF = encode_iri(OWL + "allValuesFrom")
+INTER = encode_iri(OWL + "intersectionOf")
+UNION = encode_iri(OWL + "unionOf")
+HASSELF = encode_iri(OWL + "hasSelf")
+COMPL = encode_iri(OWL + "complementOf")
+DISJ = encode_iri(OWL + "disjointWith")
+ONEOF = encode_iri(OWL + "oneOf")
+THING = encode_iri(OWL + "Thing")
+NOTHING = encode_iri(OWL + "Nothing")
+CARD_PREDS = frozenset(
+    encode_iri(OWL + n)
+    for n in (
+        "cardinality",
+        "minCardinality",
+        "maxCardinality",
+        "qualifiedCardinality",
+        "minQualifiedCardinality",
+        "maxQualifiedCardinality",
+    )
+)
 
 _x, _y, _z = Var("x"), Var("y"), Var("z")
 
@@ -100,6 +144,133 @@ class _Index:
         return out
 
 
+def _is_bnode(t: str) -> bool:
+    return t.startswith("_:")
+
+
+class _Inexpressible(Exception):
+    """Raised during class-expression expansion when the expression has no
+    positive-Datalog form in the requested (body/head) position; the message
+    is the drop reason recorded in RuleSet.drop_log."""
+
+
+class _Expander:
+    """Compositional class-expression → triple-pattern expansion.
+
+    Mirrors the shape of the reference's owl-to-rules translation (one rule
+    per axiom, class expressions flattened into the rule itself — Jena rules
+    cannot mention bnodes, so the reference never materializes intermediate
+    restriction-membership facts; neither do we on this path)."""
+
+    def __init__(self, ix: _Index):
+        self.ix = ix
+        self._fresh = 0
+
+    def fresh(self) -> Var:
+        self._fresh += 1
+        return Var(f"e{self._fresh}")
+
+    def _kind(self, expr: str):
+        """Classify a bnode class expression; returns (kind, payload)."""
+        ix = self.ix
+        for pred, kind in ((SVF, "svf"), (AVF, "avf"), (HASVAL, "hv")):
+            filler = ix.first(expr, pred)
+            if filler is not None:
+                return kind, (ix.first(expr, ONPROP), filler)
+        if ix.first(expr, HASSELF) is not None:
+            return "hasself", (ix.first(expr, ONPROP), None)
+        for pred, kind in ((INTER, "inter"), (UNION, "union"), (ONEOF, "oneof")):
+            head = ix.first(expr, pred)
+            if head is not None:
+                return kind, ix.rdf_list(head)
+        if ix.first(expr, COMPL) is not None:
+            return "compl", None
+        for pred in CARD_PREDS:
+            if ix.first(expr, pred) is not None:
+                return "card", None
+        return "opaque", None
+
+    def body_alts(self, expr: str, var) -> list[list]:
+        """Expression in SUBCLASS (body) position, instance bound to `var` →
+        DNF: list of alternative conjunctions of body atoms.  owl:Thing is
+        the empty conjunction.  Raises _Inexpressible otherwise."""
+        if not _is_bnode(expr):
+            if expr == THING:
+                return [[]]
+            return [[(var, TYPE, expr)]]
+        kind, payload = self._kind(expr)
+        if kind == "svf":
+            prop, filler = payload
+            if prop is None:
+                raise _Inexpressible(f"someValuesFrom without onProperty: {expr}")
+            y = self.fresh()
+            return [[(var, prop, y)] + alt for alt in self.body_alts(filler, y)]
+        if kind == "hv":
+            prop, value = payload
+            if prop is None:
+                raise _Inexpressible(f"hasValue without onProperty: {expr}")
+            return [[(var, prop, value)]]
+        if kind == "hasself":
+            prop, _ = payload
+            if prop is None:
+                raise _Inexpressible(f"hasSelf without onProperty: {expr}")
+            return [[(var, prop, var)]]
+        if kind == "inter":
+            alts = [[]]
+            for member in payload:
+                alts = [a + b for a in alts for b in self.body_alts(member, var)]
+            return alts
+        if kind == "union":
+            out = []
+            for member in payload:
+                out.extend(self.body_alts(member, var))
+            return out
+        if kind == "opaque":
+            # structureless bnode class: bnode-as-constant (SURVEY N4)
+            return [[(var, TYPE, expr)]]
+        raise _Inexpressible(f"{kind} in subclass position: {expr}")
+
+    def head_parts(self, expr: str, var) -> tuple[list, list]:
+        """Expression in SUPERCLASS (head) position → (extra body atoms,
+        head atoms).  allValuesFrom contributes a BODY atom (the role edge)
+        plus its filler's head (OWL RL cls-avf).  Raises _Inexpressible for
+        existential/disjunctive heads (svf, unionOf, oneOf, …)."""
+        if not _is_bnode(expr):
+            if expr == THING:
+                return [], []
+            return [], [(var, TYPE, expr)]
+        kind, payload = self._kind(expr)
+        if kind == "avf":
+            prop, filler = payload
+            if prop is None:
+                raise _Inexpressible(f"allValuesFrom without onProperty: {expr}")
+            y = self.fresh()
+            extra, head = self.head_parts(filler, y)
+            return [(var, prop, y)] + extra, head
+        if kind == "hv":
+            prop, value = payload
+            if prop is None:
+                raise _Inexpressible(f"hasValue without onProperty: {expr}")
+            return [], [(var, prop, value)]
+        if kind == "hasself":
+            prop, _ = payload
+            if prop is None:
+                raise _Inexpressible(f"hasSelf without onProperty: {expr}")
+            return [], [(var, prop, var)]
+        if kind == "inter":
+            extra: list = []
+            head: list = []
+            for member in payload:
+                e, h = self.head_parts(member, var)
+                extra += e
+                head += h
+            return extra, head
+        if kind == "opaque":
+            # structureless bnode class: bnode-as-constant (SURVEY N4)
+            return [], [(var, TYPE, expr)]
+        raise _Inexpressible(f"{kind} in superclass position: {expr}")
+
+
 def owl_to_rules(
     tbox: Iterable[Triple],
     *,
@@ -116,12 +287,67 @@ def owl_to_rules(
     def add(name, body, head):
         rules.append(Rule(name, tuple(body), tuple(head)))
 
+    def class_axiom(sub: str, sup: str, tag: str) -> None:
+        """sub ⊑ sup with arbitrary class expressions on either side.
+
+        Compositional: the rule's body/head carry the flattened expression
+        patterns.  For a bnode SUBCLASS we additionally keep the
+        bnode-as-constant membership rule (SURVEY N4) so ABox-asserted
+        anonymous restriction types still entail the superclass."""
+        nonlocal dropped
+        expander = _Expander(ix)
+        try:
+            extra_body, head = expander.head_parts(sup, _x)
+            if not head:
+                return  # C ⊑ owl:Thing — trivially satisfied, nothing to derive
+            bodies = expander.body_alts(sub, _x)
+            for i, alt in enumerate(bodies):
+                body = alt + extra_body
+                if not body:
+                    raise _Inexpressible(f"owl:Thing in subclass position: {sub}")
+                suffix = f"#{i}" if len(bodies) > 1 else ""
+                add(f"{tag}:{sub}<{sup}{suffix}", body, head)
+            if _is_bnode(sub):
+                add(f"{tag}-cst:{sub}<{sup}", [(_x, TYPE, sub)] + extra_body, head)
+        except _Inexpressible as e:
+            dropped += 1
+            drop_log.append(f"{tag} {sub} ⊑ {sup}: {e}")
+
     for s, p, o in triples:
         if p == SCO:
-            add(f"sco:{s}<{o}", [(_x, TYPE, s)], [(_x, TYPE, o)])
+            class_axiom(s, o, "sco")
         elif p == EQC:
-            add(f"eqc1:{s}={o}", [(_x, TYPE, s)], [(_x, TYPE, o)])
-            add(f"eqc2:{s}={o}", [(_x, TYPE, o)], [(_x, TYPE, s)])
+            class_axiom(s, o, "eqc1")
+            class_axiom(o, s, "eqc2")
+        elif p == DISJ:
+            # OWL RL cax-dw: joint membership is inconsistent → owl:Nothing
+            # (consumed by the facade's isConsistent, Q10)
+            expander = _Expander(ix)
+            try:
+                lhs = expander.body_alts(s, _x)
+                rhs = expander.body_alts(o, _x)
+                for i, (a, b) in enumerate((a, b) for a in lhs for b in rhs):
+                    if not (a + b):
+                        raise _Inexpressible("owl:Thing disjointWith owl:Thing")
+                    add(f"cax-dw:{s}|{o}#{i}", a + b, [(_x, TYPE, NOTHING)])
+            except _Inexpressible as e:
+                dropped += 1
+                drop_log.append(f"disjointWith {s} | {o}: {e}")
+        elif p == TYPE and _is_bnode(o):
+            # ABox assertion of an anonymous class: derivable consequences
+            # with the instance baked in as a constant (e.g. a type [∀p.D]
+            # ⇒ (a p y) → (y type D)).  Plain named/hasValue consequences of
+            # asserted bnode types flow through the bnode-as-constant rules
+            # (hv1 below / class_axiom's -cst rule) instead.
+            expander = _Expander(ix)
+            try:
+                extra_body, head = expander.head_parts(o, s)
+                if extra_body and head:
+                    add(f"type-anon:{s}:{o}", extra_body, head)
+            except _Inexpressible:
+                pass  # counted at the axiom site if referenced; existential
+                # ABox types (a type [∃p.C]) have no consequence without
+                # bnode invention — same as the reference
         elif p == SPO:
             # sub-property of an inverse: P ⊑ inverse(Q) (test1.ttl:28-33)
             inv_target = ix.first(o, INV) if o.startswith("_:") else None

@@ -43,6 +43,8 @@ _TOKEN_RE = re.compile(
   | (?P<lang>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<bnode>_:[A-Za-z0-9][\w.-]*)
   | (?P<pname>(?:[A-Za-z_][\w-]*)?:[\w%-]*(?:[\w.%-]*[\w%-])?)
+  | (?P<boolean>\b(?:true|false)\b)
+  | (?P<number>[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\.\d+(?:[eE][+-]?\d+)?|\d+))
   | (?P<kw_a>\ba\b)
   | (?P<punct>[.;,\[\]()])
     """,
@@ -209,6 +211,21 @@ class _Parser:
                 self.next()
                 return encode_literal(lex, lang=ntx[1:])
             return encode_literal(lex)
+        if kind == "boolean":
+            if position != "object":
+                raise ValueError("turtle: literal outside object position")
+            return encode_literal(tx, dt="http://www.w3.org/2001/XMLSchema#boolean")
+        if kind == "number":
+            if position != "object":
+                raise ValueError("turtle: literal outside object position")
+            # Turtle 2.5.2 shorthand: integer / decimal / double by shape
+            if "e" in tx.lower():
+                dt = "http://www.w3.org/2001/XMLSchema#double"
+            elif "." in tx:
+                dt = "http://www.w3.org/2001/XMLSchema#decimal"
+            else:
+                dt = "http://www.w3.org/2001/XMLSchema#integer"
+            return encode_literal(tx, dt=dt)
         if tx == "[":
             if position == "predicate":
                 raise ValueError("turtle: bnode list in predicate position")

@@ -139,6 +139,41 @@ def test_reference_gocam_ro_e2e(spark):
     assert res.metrics[-1].rules_skipped > len(rules) * 0.8
 
 
+@pytest.mark.skipif(not os.path.isdir(REF_DIR), reason="reference checkout absent")
+def test_reference_gocam_golden_611(spark):
+    """EXACT replica of the reference's golden inference test
+    (TestInference.scala:13-37): rules = translate(ro-merged.owl), data =
+    the GO-CAM ABox ONLY (the ontology contributes rules, not triples), and
+    `memory.facts.size shouldEqual 611` (TestInference.scala:28).
+
+    Our compositional owl2rules translation reproduces the reference's
+    fact set size EXACTLY (611 = 347 asserted + 264 inferred), checked three
+    ways: the Spark engine's count, the naive-oracle differential (the
+    sandbox's stand-in for the Jena FORWARD_RETE equality check at
+    TestInference.scala:30-36), and engine == oracle set equality."""
+    tbox = __import__(
+        "arachne_spark.sources.rdfxml", fromlist=["parse_rdfxml"]
+    ).parse_rdfxml(os.path.join(REF_DIR, "ro-merged.owl"))
+    abox = sorted(
+        set(
+            parse_turtle(
+                open(
+                    os.path.join(REF_DIR, "57c82fad00000639.ttl"), encoding="utf-8"
+                ).read()
+            )
+        )
+    )
+    rules = owl_to_rules(tbox)
+    # only 2 genuinely-inexpressible axioms in the whole RO, both counted
+    assert rules.dropped == 2
+    res = FixpointEngine(spark, rules).materialize(triples_df(spark, abox))
+    assert res.facts_count == 611  # the reference's golden number
+    got = spo_set(res.facts)
+    oracle = naive_fixpoint(abox, rules)
+    assert len(oracle) == 611
+    assert got == oracle
+
+
 def test_cli_end_to_end(spark, tmp_path):
     """CLI replica of ref cli/Main.scala:22-97: ontology + data in, timed
     stages, correct N-Triples export out (--inferred-only)."""

@@ -144,10 +144,20 @@ def test_windowed_counts_stream_with_watermark(spark, tmp_path):
     late_batch = [("2024-01-01 15:00:00", "click", 1.0)]
     # older than watermark -> must be DROPPED
     too_late = [("2024-01-01 10:30:00", "click", 99.0)]
+    # FileStreamSource consumes files in modification-time order; under
+    # parallel suite load the three batches' mtimes can collide, letting the
+    # too-late file overtake the watermark-advancing one. Force one file per
+    # batch (coalesce) and strictly increasing mtimes (os.utime) so watermark
+    # advancement is deterministic.
+    base_mtime = 1_700_000_000
     for i, rows in enumerate([early, late_batch, too_late]):
         spark.createDataFrame(rows, "ts string, event_type string, value double").select(
             F.to_timestamp("ts").alias("ts"), "event_type", "value"
-        ).write.parquet(f"{src}/b{i}")
+        ).coalesce(1).write.parquet(f"{src}/b{i}")
+        for root, _dirs, files in os.walk(f"{src}/b{i}"):
+            for f in files:
+                path = os.path.join(root, f)
+                os.utime(path, (base_mtime + 60 * i, base_mtime + 60 * i))
     stream = (
         spark.readStream.schema("ts timestamp, event_type string, value double")
         .option("maxFilesPerTrigger", "1")
