@@ -554,6 +554,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
 
+    def s2_owl_svf_avf(spark, sf_dir):
+        """S2 compositional class expressions end-to-end: a Turtle TBox with
+        a someValuesFrom SUBCLASS (cls-svf1: ∃supplies.CriticalPart ⊑
+        CriticalSupplier) and an allValuesFrom SUPERCLASS (cls-avf:
+        CriticalSupplier ⊑ ∀basedIn.AuditedNation) goes through
+        parse_turtle -> owl_to_rules -> FixpointEngine; the ABox comes from
+        lineitem/part/supplier. Returns the inferred type facts."""
+        from arachne_spark.model import RDF_TYPE, encode_iri
+        from arachne_spark.owl2rules import owl_to_rules
+        from arachne_spark.sources.turtle import parse_turtle
+
+        TBOX = """
+        @prefix : <http://ex/> .
+        @prefix owl: <http://www.w3.org/2002/07/owl#> .
+        @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        [ a owl:Restriction ; owl:onProperty :supplies ;
+          owl:someValuesFrom :CriticalPart ] rdfs:subClassOf :CriticalSupplier .
+        :CriticalSupplier rdfs:subClassOf
+          [ a owl:Restriction ; owl:onProperty :basedIn ;
+            owl:allValuesFrom :AuditedNation ] .
+        """
+        rules = owl_to_rules(parse_turtle(TBOX))
+        TYPE = encode_iri(RDF_TYPE)
+        li = (
+            _t(spark, sf_dir, "lineitem")
+            .select(
+                _enc_id("s", F.col("l_suppkey")).alias("s"),
+                F.lit("<http://ex/supplies>").alias("p"),
+                _enc_id("pt", F.col("l_partkey")).alias("o"),
+            )
+            .distinct()
+        )
+        crit = (
+            _t(spark, sf_dir, "part")
+            .filter(F.col("p_partkey") % 10 == 0)
+            .select(
+                _enc_id("pt", F.col("p_partkey")).alias("s"),
+                F.lit(TYPE).alias("p"),
+                F.lit("<http://ex/CriticalPart>").alias("o"),
+            )
+        )
+        based = _t(spark, sf_dir, "supplier").select(
+            _enc_id("s", F.col("s_suppkey")).alias("s"),
+            F.lit("<http://ex/basedIn>").alias("p"),
+            _enc_id("n", F.col("s_nationkey")).alias("o"),
+        )
+        asserted = li.unionByName(crit).unionByName(based)
+        res = FixpointEngine(spark, rules).materialize(asserted)
+        return (
+            res.inferred_only()
+            .filter(F.col("p") == TYPE)
+            .select(
+                F.regexp_replace(F.col("s"), r"[<>]", "").alias("entity"),
+                F.regexp_extract(F.col("o"), r"/([A-Za-z]+)>$", 1).alias("cls"),
+            )
+        )
+
     return {
         "r13_fixpoint_tc": r13_fixpoint_tc,
         "r13_incremental": r13_incremental,
@@ -588,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": events_windowed,
         "events_sessionize": events_sessionize,
         "agg_user_stats": agg_user_stats,
+        "s2_owl_svf_avf": s2_owl_svf_avf,
     }
 
 
@@ -728,15 +786,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY 1"
         ),
         "dedup_minhash_bands": f"WITH {_SHINGLE_CTE.lstrip()} SELECT doc_id, band, minhash FROM mh",
+        # keepers CTE mirrors collapse_exact=True: near-dup pairs run on one
+        # representative (min id) per distinct text; exact cliques are
+        # dedup_exact's output
         "dedup_lsh_pairs": (
-            f"WITH {_SHINGLE_CTE.lstrip()} "
-            "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM mh a "
-            "JOIN mh b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id"
+            f"WITH {_SHINGLE_CTE.lstrip()}, "
+            "k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)), "
+            "mhk AS (SELECT mh.* FROM mh JOIN k USING (doc_id)) "
+            "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM mhk a "
+            "JOIN mhk b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id"
         ),
         "dedup_ngram_jaccard": (
             f"WITH {_SHINGLE_CTE.lstrip()}, "
-            "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM mh a "
-            " JOIN mh b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id), "
+            "k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)), "
+            "mhk AS (SELECT mh.* FROM mh JOIN k USING (doc_id)), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM mhk a "
+            " JOIN mhk b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id), "
             "sets AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(l)-1,1)), "
             " i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS ss FROM "
             " (SELECT doc_id, string_split(text,' ') l FROM documents)) "
@@ -860,5 +925,16 @@ def oracle_sql() -> dict[str, str]:
         "agg_user_stats": (
             "SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users, "
             "round(avg(value), 4) AS avg_value FROM events GROUP BY 1"
+        ),
+        # cls-svf1 + cls-avf as relational algebra: critical suppliers =
+        # ∃supplies.CriticalPart members; audited nations = their basedIn
+        # fillers (the ∀-consequence on derived CriticalSupplier members)
+        "s2_owl_svf_avf": (
+            "WITH crit AS (SELECT DISTINCT l.l_suppkey FROM lineitem l "
+            " JOIN part p ON l.l_partkey = p.p_partkey WHERE p.p_partkey % 10 = 0) "
+            "SELECT 's' || l_suppkey AS entity, 'CriticalSupplier' AS cls FROM crit "
+            "UNION "
+            "SELECT DISTINCT 'n' || s.s_nationkey AS entity, 'AuditedNation' AS cls "
+            "FROM supplier s JOIN crit c ON s.s_suppkey = c.l_suppkey"
         ),
     }

@@ -113,33 +113,60 @@ def build_term_dict(
     )
 
 
-def extend_term_dict(
+def _delta_plan(
     term_dict: DataFrame, new_triples: DataFrame, salt: int
 ) -> DataFrame:
-    """Union newly-seen terms into an existing dictionary (incremental
-    maintenance). The salt is FIXED (already-encoded facts can't be
-    re-salted); a collision between a new term and an existing one raises —
-    at 64 bits this is a practically-impossible event, and the correct
-    recovery is a full re-materialization."""
-    new_terms = new_triples.select(
-        F.explode(F.array(*[F.col(c) for c in TRIPLE_COLS])).alias("term")
-    ).distinct()
-    merged = (
-        term_dict.select("term")
-        .unionByName(new_terms)
+    """The lazy new-terms plan: distinct over the BATCH only, then a
+    left_anti against the dictionary — the dictionary side is never
+    aggregated or re-hashed (plan-asserted in tests)."""
+    return (
+        new_triples.select(
+            F.explode(F.array(*[F.col(c) for c in TRIPLE_COLS])).alias("term")
+        )
         .distinct()
+        .join(term_dict.select("term"), on="term", how="left_anti")
         .select("term", term_id_col(F.col("term"), salt).alias("id"))
-        .localCheckpoint(eager=True)
     )
-    row = merged.agg(
+
+
+def dict_delta(
+    term_dict: DataFrame, new_triples: DataFrame, salt: int
+) -> DataFrame:
+    """The batch's GENUINELY NEW dictionary rows, verified collision-free —
+    O(|batch|) work, never touching the full vocabulary.
+
+    distinct() runs over the batch's terms only; the left_anti against the
+    existing dictionary and the id semi-join collision check are both
+    small-batch × large-dict hash joins (broadcast-able on the batch side).
+    The salt is FIXED (already-encoded facts can't be re-salted); a collision
+    — new term vs existing id, or within the batch — raises, and the correct
+    recovery is a full re-materialization (at 64 bits this is a
+    practically-impossible event)."""
+    new_terms = _delta_plan(term_dict, new_triples, salt).localCheckpoint(eager=True)
+    row = new_terms.agg(
         F.count("*").alias("n"), F.countDistinct("id").alias("k")
     ).collect()[0]
-    if row["n"] != row["k"]:
+    clashes = (
+        0
+        if row["n"] == 0
+        else new_terms.join(term_dict, on="id", how="left_semi").count()
+    )
+    if row["n"] != row["k"] or clashes:
         raise RuntimeError(
             "xxhash64 collision between incremental terms and the existing "
             f"dictionary at salt={salt}; re-materialize from scratch"
         )
-    return merged
+    return new_terms
+
+
+def extend_term_dict(
+    term_dict: DataFrame, new_triples: DataFrame, salt: int
+) -> DataFrame:
+    """Union newly-seen terms into an existing dictionary (incremental
+    maintenance) in O(|batch|): the new rows come from :func:`dict_delta`
+    and the result is a lazy union with the (already-checkpointed) existing
+    dictionary — the full vocabulary is never re-shuffled or re-hashed."""
+    return term_dict.unionByName(dict_delta(term_dict, new_triples, salt))
 
 
 def lookup_term_ids(

@@ -62,22 +62,23 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 from functools import reduce
 from itertools import product as _iter_product
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from arachne_spark.dictionary import (
     build_term_dict,
     decode_ids,
+    dict_delta,
     encode_ids,
     encode_ruleset,
-    extend_term_dict,
     lookup_term_ids,
     rule_constants,
 )
@@ -104,6 +105,31 @@ def _is_const(t) -> bool:
 
 def _empty_like(df: DataFrame) -> DataFrame:
     return df.sparkSession.createDataFrame([], df.schema)
+
+
+# Predicate-bucketed facts store (SURVEY O1): the facts relation checkpoints
+# to parquet PARTITIONED BY a hash bucket of the predicate, so every
+# const-predicate alpha selection prunes to 1/PB_BUCKETS of the store's files
+# at scan time instead of scanning all facts — this attacks the measured
+# O(|facts|) per-round scan floor (~9 s/round at 40M facts, BENCH r2). The
+# bucket count bounds directory fan-out for open predicate vocabularies.
+PB_BUCKETS = 64
+
+
+def _pb_write_col(df: DataFrame) -> Column:
+    """Bucket column for the write side; long ids are already uniform hashes
+    (pmod directly), strings hash via xxhash64 first."""
+    if isinstance(df.schema["p"].dataType, T.LongType):
+        return F.pmod(F.col("p"), F.lit(PB_BUCKETS))
+    return F.pmod(F.xxhash64(F.col("p")), F.lit(PB_BUCKETS))
+
+
+def _pb_of_const(p_const) -> Column:
+    """Foldable bucket literal for a constant predicate — partition pruning
+    evaluates it at planning time."""
+    if isinstance(p_const, int):
+        return F.lit(p_const % PB_BUCKETS)
+    return F.pmod(F.xxhash64(F.lit(p_const)), F.lit(PB_BUCKETS))
 
 
 @dataclass(frozen=True)
@@ -215,52 +241,110 @@ class FixpointResult:
         )
         return [r.asDict() for r in rows]
 
-    def explain_full(self, s: str, p: str, o: str, max_depth: int = 64) -> list[dict]:
+    def explain_full(
+        self, s: str, p: str, o: str, max_depth: Optional[int] = None
+    ) -> list[dict]:
         """Recursive explanations — the WorkingMemory.explain replica
         (R14, WorkingMemory.scala:21-48): expand each derived supporting fact
         through its derivation, cartesian-combine across body atoms, and
         return every Explanation as {'facts': set of ASSERTED leaf triples
         (encoded strings), 'rules': set of rule names}. A fact with no
         derivation is its own leaf Explanation (:27). Driver-side anchored
-        recursion with memoized per-fact lookups — the query touches only the
-        cone above one triple, never the whole derivations table."""
+        EXPLICIT-STACK expansion with memoized per-fact lookups — unbounded
+        depth by default, matching the reference (semi-naive derivations form
+        a DAG: every body fact was derived in a strictly earlier round), and
+        the query touches only the cone above one triple, never the whole
+        derivations table. ``max_depth`` optionally caps the cone height."""
         if self.derivations is None:
             raise ValueError("materialized with store_derivations=False")
         key = self._triple_key(s, p, o)
         if key is None:
             return [{"facts": {(s, p, o)}, "rules": set()}]
-        dcache: dict = {}
 
-        def derivs(t):
-            if t not in dcache:
-                dcache[t] = (
-                    self.derivations.filter(
-                        (F.col("s") == t[0]) & (F.col("p") == t[1]) & (F.col("o") == t[2])
-                    )
-                    .select("rule_name", "body")
+        # Phase 1 — fetch the derivation cone LEVEL-BATCHED: one Spark job
+        # per cone level (frontier isin-filter), not one per fact. The query
+        # still touches only the cone above the probe triple, never the
+        # whole derivations table.
+        sep = chr(1)  # unambiguous joiner for composite keys
+        keycol = F.concat_ws(
+            sep, *[F.col(c).cast("string") for c in ("s", "p", "o")]
+        )
+
+        def _k(t):
+            return sep.join(str(x) for x in t)
+
+        dcache: dict = {}
+        frontier = {key}
+        while frontier:
+            got: dict = {t: [] for t in frontier}
+            flist = sorted(_k(t) for t in frontier)
+            for i in range(0, len(flist), 10_000):  # bounded literal lists
+                rows = (
+                    self.derivations.filter(keycol.isin(flist[i : i + 10_000]))
+                    .select("s", "p", "o", "rule_name", "body")
                     .collect()
                 )
-            return dcache[t]
+                for r in rows:
+                    got[(r["s"], r["p"], r["o"])].append(r)
+            dcache.update(got)
+            frontier = {
+                tuple(b)
+                for rs in got.values()
+                for r in rs
+                for b in r["body"]
+                if tuple(b) not in dcache
+            }
 
-        def expand(t, depth):
-            if depth > max_depth:
+        def derivs(t):
+            return dcache.get(t, [])
+
+        # enter/exit DFS with an explicit stack. `ancestors` guards against
+        # cyclic derivation data (impossible for a valid semi-naive table —
+        # body facts come from strictly earlier rounds — but a corrupted
+        # table must not hang): a back-edge to an ancestor is treated as a
+        # leaf for that combination only.
+        memo: dict = {}
+        ancestors: set = set()
+        stack: list[tuple] = [(key, 0, False)]
+        while stack:
+            t, depth, entered = stack.pop()
+            if entered:
+                out = []
+                for r in derivs(t):
+                    parts = [
+                        memo.get(
+                            tuple(b),
+                            [{"facts": frozenset([tuple(b)]), "rules": frozenset()}],
+                        )
+                        for b in r["body"]
+                    ]
+                    for combo in _iter_product(*parts):
+                        facts = frozenset().union(*[c["facts"] for c in combo])
+                        rules = frozenset([r["rule_name"]]).union(
+                            *[c["rules"] for c in combo]
+                        )
+                        out.append({"facts": facts, "rules": rules})
+                uniq = {(e["facts"], e["rules"]): e for e in out}
+                memo[t] = list(uniq.values())
+                ancestors.discard(t)
+                continue
+            if t in memo or t in ancestors:
+                continue
+            if max_depth is not None and depth > max_depth:
                 raise RecursionError("explanation depth exceeded")
             rows = derivs(t)
             if not rows:
-                return [{"facts": frozenset([t]), "rules": frozenset()}]
-            out = []
+                memo[t] = [{"facts": frozenset([t]), "rules": frozenset()}]
+                continue
+            ancestors.add(t)
+            stack.append((t, depth, True))
             for r in rows:
-                parts = [expand(tuple(b), depth + 1) for b in r["body"]]
-                for combo in _iter_product(*parts):
-                    facts = frozenset().union(*[c["facts"] for c in combo])
-                    rules = frozenset([r["rule_name"]]).union(
-                        *[c["rules"] for c in combo]
-                    )
-                    out.append({"facts": facts, "rules": rules})
-            uniq = {(e["facts"], e["rules"]): e for e in out}
-            return list(uniq.values())
+                for b in r["body"]:
+                    bt = tuple(b)
+                    if bt not in memo:
+                        stack.append((bt, depth + 1, False))
 
-        expls = expand(key, 0)
+        expls = memo[key]
         if self.term_dict is not None:
             ids = sorted({i for e in expls for f in e["facts"] for i in f})
             rmap = {
@@ -306,6 +390,7 @@ class FixpointEngine:
         max_rounds: int = 10_000,
         dict_encode: bool | str = "auto",
         dict_threshold: int = 1_000_000,
+        pred_partitioned: bool = False,
     ) -> None:
         self.spark = spark
         self.ruleset = ruleset
@@ -321,6 +406,11 @@ class FixpointEngine:
         self.max_rounds = max_rounds
         self.dict_encode = dict_encode
         self.dict_threshold = dict_threshold
+        # SURVEY O1: keep the facts relation as parquet partitioned by a
+        # predicate hash bucket under checkpoint_dir — const-predicate alpha
+        # scans then prune to 1/PB_BUCKETS of the files. Requires
+        # checkpoint_dir; per-round cost is an O(|delta|) append.
+        self.pred_partitioned = pred_partitioned and checkpoint_dir is not None
         self._string_ctx = _compile_rules(ruleset)
         self._const_terms = rule_constants(ruleset)
         self._id_ctx_cache: dict[int, _CompiledRules] = {}
@@ -346,7 +436,15 @@ class FixpointEngine:
     ) -> DataFrame:
         key = (id(df), atom_signature(atom))
         if key not in cache:
-            cache[key] = alpha_filter(df, atom)
+            rel = df
+            if "__pb" in df.columns:
+                # predicate-bucketed store: a const-predicate atom prunes to
+                # its bucket's files before the alpha filter (SURVEY O1);
+                # var-predicate atoms scan all buckets, as they must
+                if _is_const(atom[1]):
+                    rel = rel.filter(F.col("__pb") == _pb_of_const(atom[1]))
+                rel = rel.select(*TRIPLE_COLS)
+            cache[key] = alpha_filter(rel, atom)
         return bind_vars(cache[key], atom, triple_as)
 
     def _delta_stats(
@@ -488,7 +586,15 @@ class FixpointEngine:
         id_mode = prev.facts_ids is not None
         if id_mode:
             salt = prev.salt
-            term_dict = extend_term_dict(prev.term_dict, new_strings, salt)
+            new_dict_rows = dict_delta(prev.term_dict, new_strings, salt)
+            term_dict = prev.term_dict.unionByName(new_dict_rows)
+            if self.checkpoint_dir:
+                # persist the batch's NEW terms so resume() can decode facts
+                # whose terms never appear in the original asserted input
+                os.makedirs(self.checkpoint_dir, exist_ok=True)
+                new_dict_rows.write.mode("append").parquet(
+                    os.path.join(self.checkpoint_dir, "terms")
+                )
             ctx = self._ctx_for_salt(salt)
             new_enc = encode_ids(new_strings, salt).localCheckpoint(eager=True)
             prev_facts = prev.facts_ids
@@ -510,9 +616,14 @@ class FixpointEngine:
         round0 = prev.metrics[-1].round + 1 if prev.metrics else 1
         m0 = RoundMetrics(round0, 0, d, base, 0.0, 0, 0, [])
         self._write_round(round0, delta, m0)
+        # asserted stays a SET: drop re-asserted triples before the union
+        # (facts/inferred_only were already safe; this keeps the exported
+        # asserted relation duplicate-free, matching materialize())
         raw = self._run(
             facts,
-            prev_asserted.unionByName(new_enc),
+            prev_asserted.unionByName(
+                new_enc.join(prev_asserted, on=spo, how="left_anti")
+            ),
             round0=round0,
             prior_metrics=list(prev.metrics) + [m0],
             derivations=prev.derivations,
@@ -552,6 +663,14 @@ class FixpointEngine:
             _, term_dict = build_term_dict(
                 self.spark, asserted, self._const_terms, start_salt=salt, max_salt=1
             )
+            terms_dir = os.path.join(self.checkpoint_dir, "terms")
+            if os.path.isdir(terms_dir):
+                # terms persisted by incremental() batches — covers resumes
+                # whose `asserted` predates those batches
+                extra = self.spark.read.parquet(terms_dir)
+                term_dict = term_dict.unionByName(
+                    extra.join(term_dict.select("term"), on="term", how="left_anti")
+                ).localCheckpoint(eager=True)
             ctx = self._ctx_for_salt(salt)
             asserted_run = encode_ids(asserted, salt).distinct().localCheckpoint(
                 eager=True
@@ -565,19 +684,59 @@ class FixpointEngine:
             for r in rounds
         ]
         facts = reduce(DataFrame.unionByName, deltas).localCheckpoint(eager=True)
+        if id_mode:
+            # decode coverage gate: every resumed id must be in the rebuilt
+            # dictionary, else decode_ids' inner joins would SILENTLY drop
+            # facts (e.g. resuming with the original asserted set after
+            # incremental() batches introduced new terms)
+            n_facts = facts.count()
+            n_decodable = decode_ids(facts, term_dict).count()
+            if n_decodable != n_facts:
+                raise ValueError(
+                    f"resume(): {n_facts - n_decodable} checkpointed facts "
+                    "contain terms absent from the rebuilt dictionary — pass "
+                    "the SAME asserted set (including incremental batches) "
+                    "the checkpoint was built from"
+                )
         metrics = []
         mpath = os.path.join(self.checkpoint_dir, "metrics.jsonl")
         if os.path.exists(mpath):
             with open(mpath, encoding="utf-8") as f:
                 metrics = [RoundMetrics(**json.loads(line)) for line in f if line.strip()]
             metrics = [m for m in metrics if m.round <= rounds[-1]]
+        if self.pred_partitioned:
+            # the crashed run's facts_by_p store may hold a torn append from
+            # the round that died — rebuild it from the reconstructed facts
+            sd = os.path.join(self.checkpoint_dir, "facts_by_p")
+            if os.path.isdir(sd):
+                shutil.rmtree(sd)
+        # reload persisted derivation records (R12/R14 continuity): a
+        # store_derivations run that crashed mid-fixpoint keeps every
+        # already-recorded explanation
+        derivations = None
+        if self.store_derivations:
+            deriv_dirs = sorted(
+                d
+                for d in os.listdir(self.checkpoint_dir)
+                if d.startswith("derivs=") and int(d.split("=")[1]) <= rounds[-1]
+            )
+            if deriv_dirs:
+                derivations = reduce(
+                    DataFrame.unionByName,
+                    [
+                        self.spark.read.parquet(
+                            os.path.join(self.checkpoint_dir, d)
+                        )
+                        for d in deriv_dirs
+                    ],
+                ).localCheckpoint(eager=True)
         delta = deltas[-1]
         raw = self._run(
             facts,
             asserted_run,
             round0=rounds[-1],
             prior_metrics=metrics,
-            derivations=None,
+            derivations=derivations,
             delta0=delta.localCheckpoint(eager=True),
             facts_old0=reduce(DataFrame.unionByName, deltas[:-1]).localCheckpoint(eager=True)
             if len(deltas) > 1
@@ -587,6 +746,47 @@ class FixpointEngine:
         if id_mode:
             return self._wrap_ids(raw, term_dict, salt)
         return raw
+
+    # -- predicate-bucketed facts store (SURVEY O1) -------------------------
+    def _store_append(self, delta: DataFrame, store_dir: str, rnd: int) -> None:
+        (
+            delta.withColumn("__rnd", F.lit(rnd))
+            .withColumn("__pb", _pb_write_col(delta))
+            .write.partitionBy("__pb")
+            .mode("append")
+            .parquet(store_dir)
+        )
+
+    def _store_read(self, store_dir: str, rnd: int) -> DataFrame:
+        """Snapshot-at-round read: the __rnd <= rnd filter (file-skipped via
+        parquet min/max stats — each file holds one round) makes the read
+        stable against later appends, Iceberg-snapshot style; __pb is the
+        partition column const-predicate alpha selections prune on."""
+        return self.spark.read.parquet(store_dir).filter(F.col("__rnd") <= rnd)
+
+    def _store_init(
+        self,
+        facts: DataFrame,
+        store_dir: str,
+        round0: int,
+        delta0: Optional[DataFrame],
+    ) -> DataFrame:
+        fresh_run = round0 == 0 and delta0 is None
+        if not os.path.isdir(store_dir) or fresh_run:
+            # materialize() always rewrites (a leftover store from an earlier
+            # run under the same checkpoint_dir must not leak in); resume()
+            # removes the store first and lands here too
+            (
+                facts.withColumn("__rnd", F.lit(round0))
+                .withColumn("__pb", _pb_write_col(facts))
+                .write.partitionBy("__pb")
+                .mode("overwrite")
+                .parquet(store_dir)
+            )
+        elif delta0 is not None:
+            # incremental over an existing store: only the seed delta appends
+            self._store_append(delta0, store_dir, round0)
+        return self._store_read(store_dir, round0)
 
     def _write_round(self, rnd: int, delta: DataFrame, m: RoundMetrics) -> None:
         if not self.checkpoint_dir:
@@ -616,6 +816,10 @@ class FixpointEngine:
         spo = list(TRIPLE_COLS)
         delta = delta0 if delta0 is not None else facts
         facts_old = facts_old0 if facts_old0 is not None else _empty_like(facts)
+        store_dir = None
+        if self.pred_partitioned:
+            store_dir = os.path.join(self.checkpoint_dir, "facts_by_p")
+            facts = self._store_init(facts, store_dir, round0, delta0)
         # one aggregation job per delta yields total count, per-predicate counts
         # (variant skipping) and per-partition lineage (metrics) together
         delta_preds, delta_total, delta_lineage = self._delta_stats(delta, ctx)
@@ -663,8 +867,11 @@ class FixpointEngine:
         else:
             totals_old, facts_old_total, _ = self._delta_stats(facts_old, ctx)
 
+        # budget is rounds executed THIS call — a long-lived incremental
+        # store whose cumulative round numbering exceeds max_rounds must
+        # still close the new batch's fixpoint
         rnd = round0
-        while rnd < self.max_rounds:
+        while rnd < round0 + self.max_rounds:
             rnd += 1
             t0 = time.time()
             delta_in = delta_total
@@ -768,7 +975,14 @@ class FixpointEngine:
                     .filter(F.col("__rn") == 1)
                     .drop("__rn")
                     .withColumn("round", F.lit(rnd))
-                )
+                ).localCheckpoint(eager=True)
+                # provenance survives a crash: the per-round derivation
+                # records checkpoint alongside the per-round delta, and
+                # resume() reloads them (R12/R14 continuity)
+                if self.checkpoint_dir:
+                    round_derivs.write.mode("overwrite").parquet(
+                        os.path.join(self.checkpoint_dir, f"derivs={rnd:04d}")
+                    )
                 derivations = derivations.unionByName(round_derivs).localCheckpoint(
                     eager=True
                 )
@@ -797,24 +1011,30 @@ class FixpointEngine:
             delta_preds, delta_total = new_preds, delta_out
 
             facts_old = facts
-            # The delta must not appear as the SAME LogicalRDD both inside the
-            # facts union and as the join-side delta relation — that trips
-            # Spark 4.1's relation deduplication ("key not found: attr") on
-            # var-predicate rule shapes. A second localCheckpoint of the
-            # (already materialized) delta is an O(|delta|) in-memory copy
-            # with fresh attribute ids — far cheaper than re-checkpointing
-            # the whole facts store every round, and keeps facts a union of
-            # per-round checkpointed components (bounded lineage, exact AQE
-            # sizes summing across components). Every `facts_refresh` rounds
-            # the union itself is re-checkpointed to bound plan width on deep
-            # fixpoints.
-            facts = facts.unionByName(new_delta.localCheckpoint(eager=True))
-            if (rnd - round0) % self.facts_refresh == 0:
-                facts = facts.localCheckpoint(eager=True)
+            if store_dir:
+                # O(|delta|) partitioned append; the re-read is a fresh
+                # parquet relation, so no LogicalRDD aliasing with the delta
+                self._store_append(new_delta, store_dir, rnd)
+                facts = self._store_read(store_dir, rnd)
+            else:
+                # The delta must not appear as the SAME LogicalRDD both
+                # inside the facts union and as the join-side delta relation
+                # — that trips Spark 4.1's relation deduplication ("key not
+                # found: attr") on var-predicate rule shapes. A second
+                # localCheckpoint of the (already materialized) delta is an
+                # O(|delta|) in-memory copy with fresh attribute ids — far
+                # cheaper than re-checkpointing the whole facts store every
+                # round, and keeps facts a union of per-round checkpointed
+                # components (bounded lineage, exact AQE sizes summing across
+                # components). Every `facts_refresh` rounds the union itself
+                # is re-checkpointed to bound plan width on deep fixpoints.
+                facts = facts.unionByName(new_delta.localCheckpoint(eager=True))
+                if (rnd - round0) % self.facts_refresh == 0:
+                    facts = facts.localCheckpoint(eager=True)
             delta = new_delta
 
         return FixpointResult(
-            facts=facts,
+            facts=facts.select(*spo) if store_dir else facts,
             asserted=asserted,
             rounds=rnd - round0,
             metrics=metrics,

@@ -67,13 +67,31 @@ def transitive_closure(
 
 
 class Reasoner:
-    """Query facade over materialized facts (encoded 3-column schema)."""
+    """Query facade over materialized facts (encoded 3-column schema).
+
+    Memoized structures (subClassOf edges, closure, cones) are tied to the
+    FACTS SNAPSHOT passed at construction — DataFrames are immutable, so
+    there is no staleness within one snapshot. After ``incremental()``
+    produces a new result, either build a fresh ``Reasoner(new_result.facts)``
+    or call :meth:`invalidate` with the new facts (the reference re-flushes
+    its caches on ontology change the same way,
+    ref ArachneOWLReasoner.scala:28-39)."""
 
     def __init__(self, facts: DataFrame):
         self.facts = facts
         self._sco_edges_df: Optional[DataFrame] = None
         self._sco_clo_df: Optional[DataFrame] = None
         self._cone_cache: dict[tuple[str, bool], DataFrame] = {}
+
+    def invalidate(self, facts: Optional[DataFrame] = None) -> "Reasoner":
+        """Drop memoized closure/cone structures, optionally swapping in a
+        new facts snapshot (e.g. an incremental() result). Returns self."""
+        if facts is not None:
+            self.facts = facts
+        self._sco_edges_df = None
+        self._sco_clo_df = None
+        self._cone_cache = {}
+        return self
 
     # -- helpers -----------------------------------------------------------
     def _po(self, p: str, o: Optional[str] = None) -> DataFrame:

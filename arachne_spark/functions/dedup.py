@@ -18,10 +18,64 @@ DuckDB oracles in __spark_entry__.py compute the identical formulas).
 
 from __future__ import annotations
 
+import logging
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+log = logging.getLogger(__name__)
+
 N_BANDS = 4
+
+# Hot-bucket backstop: a band bucket with B members emits B(B-1)/2 candidate
+# pairs, so one boilerplate string shared by 1M documents would emit ~10^12
+# pairs from a single bucket. Buckets wider than this are excluded from pair
+# generation WITH A LOGGED COUNT (never silently); tune per corpus.
+MAX_BUCKET = 10_000
+
+
+def _collapse_exact(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One representative (min id) per distinct text. Exact duplicates are
+    already fully grouped by exact_dup_groups — re-discovering each clique
+    through LSH band buckets is the canonical quadratic blowup, so near-dup
+    stages run on representatives only."""
+    keepers = exact_dup_groups(docs, id_col, text_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    return docs.join(keepers, on=id_col, how="left_semi")
+
+
+def _drop_hot_buckets(
+    sigs: DataFrame, keys: list[str], max_bucket: Optional[int], op: str
+) -> DataFrame:
+    """Exclude band buckets wider than max_bucket from pair generation,
+    logging how many buckets/rows were dropped (SURVEY's no-silent-caps
+    rule). The width census is one small aggregate over the (already tiny,
+    checkpointed) signature table; the surviving-signatures filter is a
+    broadcast anti-join against the handful of hot keys."""
+    if max_bucket is None:
+        return sigs
+    hot = (
+        sigs.groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .localCheckpoint(eager=True)
+    )
+    n_hot = hot.count()
+    if n_hot:
+        n_rows = hot.agg(F.sum("n")).collect()[0][0]
+        log.warning(
+            "%s: excluding %d hot bucket(s) (> %d members, %d signature rows "
+            "total) from candidate-pair generation; raise max_bucket or "
+            "pre-clean the corpus to include them",
+            op,
+            n_hot,
+            max_bucket,
+            n_rows,
+        )
+        return sigs.join(F.broadcast(hot.select(*keys)), on=keys, how="left_anti")
+    return sigs
 
 
 def _shingles(text_col: str, k: int = 3):
@@ -123,14 +177,27 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     n_bands: int = N_BANDS,
     rows_per_band: int = 1,
+    collapse_exact: bool = True,
+    max_bucket: Optional[int] = MAX_BUCKET,
 ) -> DataFrame:
     """Distinct (id_a, id_b) pairs sharing at least one band bucket, id_a < id_b.
-    The join key is (band, minhash) — bucket-local, never all-pairs."""
-    # materialize the (small) signature table once — it feeds both sides of
-    # the self-join
+    The join key is (band, minhash) — bucket-local, never all-pairs.
+
+    Quadratic-blowup guards (both on by default):
+    - collapse_exact: near-dup banding runs on ONE representative per
+      distinct text (exact cliques come from exact_dup_groups, which is
+      linear); otherwise a 1M-copy boilerplate text is a single bucket
+      emitting ~5*10^11 pairs.
+    - max_bucket: buckets wider than this are excluded with a logged count
+      (None disables)."""
+    if collapse_exact:
+        docs = _collapse_exact(docs, id_col, text_col)
+    # materialize the (small) signature table once — it feeds the bucket
+    # census and both sides of the self-join
     mb = minhash_bands(docs, id_col, text_col, n_bands, rows_per_band).localCheckpoint(
         eager=True
     )
+    mb = _drop_hot_buckets(mb, ["band", "minhash"], max_bucket, "lsh_candidate_pairs")
     a = mb.select(F.col(id_col).alias("id_a"), "band", "minhash")
     b = mb.select(F.col(id_col).alias("id_b"), "band", "minhash")
     return (
@@ -217,12 +284,19 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    collapse_exact: bool = True,
+    max_bucket: Optional[int] = MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: candidates share at least one 16-bit
     band (pigeonhole: any pair within Hamming distance 3 agrees on >= 1 of
     the 4 bands), then the exact Hamming distance over the full 64 bits
     verifies. Join key = (band index, band value) — bucket-local, never
-    all-pairs. Emits (id_a, id_b, hamming), id_a < id_b."""
+    all-pairs. Emits (id_a, id_b, hamming), id_a < id_b.
+    collapse_exact/max_bucket: same quadratic-blowup guards as
+    lsh_candidate_pairs (exact cliques via exact_dup_groups; hot buckets
+    excluded with a logged count)."""
+    if collapse_exact:
+        docs = _collapse_exact(docs, id_col, text_col)
     sh = simhash(docs, id_col, text_col).localCheckpoint(eager=True)
     bands = sh.select(
         F.col(id_col),
@@ -238,6 +312,7 @@ def simhash_neardup_pairs(
             )
         ).alias("b"),
     ).select(id_col, "simhash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    bands = _drop_hot_buckets(bands, ["bi", "bv"], max_bucket, "simhash_neardup_pairs")
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "bi", "bv"
     )

@@ -70,9 +70,18 @@ def _default_centroids(
     would totally order the corpus just to pick C rows. At real scale pass
     k-means centroids via the `centroids` parameter instead; the
     partitioning/plumbing is identical."""
-    return corpus.filter(F.col(id_col) < n_centroids).select(
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("ce")
     )
+    # the id<C filter assumes dense 0-based ids; with an offset/UUID-derived
+    # id space it silently selects nothing — fall back to the deterministic
+    # top-C-by-id selection (bounded: C rows through a TakeOrdered, not a
+    # global sort of the corpus) rather than return empty results
+    if cents.limit(1).count() == 0:
+        cents = corpus.orderBy(id_col).limit(n_centroids).select(
+            F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("ce")
+        )
+    return cents
 
 
 def ivf_assign(

@@ -4,6 +4,7 @@
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from arachne_spark.engine import FixpointEngine
 from arachne_spark.oracle import naive_fixpoint
@@ -212,3 +213,153 @@ def test_checkpoint_dir_mode_switch_is_safe(spark, tmp_path):
     res = FixpointEngine(spark, _trans_rules(), checkpoint_dir=ckpt).resume(df)
     assert res.facts_ids is None  # resumed as strings per meta.json
     assert spo_set(res.facts) == expect
+
+
+def test_incremental_asserted_stays_a_set(spark):
+    """Re-asserting an already-asserted triple must not duplicate rows in
+    result.asserted (ADVICE r2: incremental() unioned without dedup)."""
+    chain = [("<a>", f"<{R}>", "<b>"), ("<b>", f"<{R}>", "<c>")]
+    eng = FixpointEngine(spark, _trans_rules())
+    res = eng.materialize(triples_df(spark, chain))
+    res2 = eng.incremental(
+        res, triples_df(spark, [("<a>", f"<{R}>", "<b>"), ("<c>", f"<{R}>", "<d>")])
+    )
+    rows = res2.asserted.count()
+    assert rows == res2.asserted.distinct().count() == 3
+    assert spo_set(res2.facts) == naive_fixpoint(
+        chain + [("<c>", f"<{R}>", "<d>")], _trans_rules()
+    )
+
+
+def test_incremental_round_budget_is_per_call(spark):
+    """A long-lived store whose CUMULATIVE round numbering reaches max_rounds
+    must still close each new batch's fixpoint (ADVICE r2: the loop bound was
+    absolute, silently returning an unclosed fixpoint)."""
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(5)]
+    eng = FixpointEngine(spark, _trans_rules(), max_rounds=4)
+    res = eng.materialize(triples_df(spark, chain))
+    for k in range(3):  # three batches; cumulative rounds blow past 4
+        extra = [(f"<m{k}>", f"<{R}>", f"<n0>")]
+        res = eng.incremental(res, triples_df(spark, extra))
+        # the new subject must reach the END of the chain (full closure)
+        assert (f"<m{k}>", f"<{R}>", "<n5>") in spo_set(res.facts)
+
+
+def test_resume_preserves_derivations(spark, tmp_path):
+    """R12/R14 continuity: crash after round k of a store_derivations run,
+    resume, and explain_full returns the same explanations as the
+    uninterrupted run (VERDICT r2 'what's missing' #3)."""
+    import os
+    import shutil
+
+    ckpt = str(tmp_path / "ckpt")
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(8)]
+    eng = FixpointEngine(
+        spark, _trans_rules(), store_derivations=True, checkpoint_dir=ckpt
+    )
+    res = eng.materialize(triples_df(spark, chain))
+    probe = ("<n0>", f"<{R}>", "<n8>")
+    want = {
+        (frozenset(e["facts"]), frozenset(e["rules"]))
+        for e in res.explain_full(*probe)
+    }
+    # simulate a crash: drop the LAST completed round (delta + derivations)
+    last = max(
+        int(d.split("=")[1]) for d in os.listdir(ckpt) if d.startswith("round=")
+    )
+    shutil.rmtree(os.path.join(ckpt, f"round={last:04d}"))
+    if os.path.isdir(os.path.join(ckpt, f"derivs={last:04d}")):
+        shutil.rmtree(os.path.join(ckpt, f"derivs={last:04d}"))
+    eng2 = FixpointEngine(
+        spark, _trans_rules(), store_derivations=True, checkpoint_dir=ckpt
+    )
+    res2 = eng2.resume(triples_df(spark, chain))
+    assert spo_set(res2.facts) == spo_set(res.facts)
+    got = {
+        (frozenset(e["facts"]), frozenset(e["rules"]))
+        for e in res2.explain_full(*probe)
+    }
+    assert got == want
+
+
+def test_resume_raises_on_undecodable_ids(spark, tmp_path):
+    """resume() must RAISE when checkpointed facts contain terms missing from
+    the rebuilt dictionary instead of silently dropping them in decode_ids
+    (ADVICE r2 medium). With the terms/ sidecar intact the same resume
+    SUCCEEDS even though the caller passed only the original asserted set."""
+    import shutil
+
+    ckpt = str(tmp_path / "ckpt")
+    chain = [("<a>", f"<{R}>", "<b>"), ("<b>", f"<{R}>", "<c>")]
+    eng = FixpointEngine(
+        spark, _trans_rules(), checkpoint_dir=ckpt, dict_encode=True
+    )
+    res = eng.materialize(triples_df(spark, chain))
+    res2 = eng.incremental(res, triples_df(spark, [("<c>", f"<{R}>", "<NEW>")]))
+    # resume with only the ORIGINAL asserted set: the persisted terms/
+    # sidecar supplies <NEW>, so decode is complete and nothing is lost
+    eng2 = FixpointEngine(
+        spark, _trans_rules(), checkpoint_dir=ckpt, dict_encode=True
+    )
+    resumed = eng2.resume(triples_df(spark, chain))
+    assert spo_set(resumed.facts) == spo_set(res2.facts)
+    # without the sidecar the dictionary is genuinely incomplete -> hard error
+    shutil.rmtree(str(tmp_path / "ckpt" / "terms"))
+    eng3 = FixpointEngine(
+        spark, _trans_rules(), checkpoint_dir=ckpt, dict_encode=True
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="absent from the rebuilt dictionary"):
+        eng3.resume(triples_df(spark, chain))
+
+
+def test_pred_partitioned_store_same_results(spark, tmp_path):
+    """SURVEY O1: the predicate-bucketed parquet facts store must reproduce
+    the in-memory store's results exactly across materialize + incremental +
+    resume."""
+    ckpt = str(tmp_path / "ckpt")
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(10)]
+    # second predicate so bucketing has something to separate
+    other = [(f"<n{i}>", "<http://ex/label>", f'"L{i}"') for i in range(10)]
+    eng = FixpointEngine(
+        spark, _trans_rules(), checkpoint_dir=ckpt, pred_partitioned=True
+    )
+    res = eng.materialize(triples_df(spark, chain + other))
+    base = FixpointEngine(spark, _trans_rules()).materialize(
+        triples_df(spark, chain + other)
+    )
+    assert spo_set(res.facts) == spo_set(base.facts)
+    extra = [("<n10>", f"<{R}>", "<n11>")]
+    res2 = eng.incremental(res, triples_df(spark, extra))
+    base2 = FixpointEngine(spark, _trans_rules()).incremental(
+        base, triples_df(spark, extra)
+    )
+    assert spo_set(res2.facts) == spo_set(base2.facts)
+    eng2 = FixpointEngine(
+        spark, _trans_rules(), checkpoint_dir=ckpt, pred_partitioned=True
+    )
+    res3 = eng2.resume(triples_df(spark, chain + other + extra))
+    assert spo_set(res3.facts) == spo_set(base2.facts)
+
+
+def test_pred_partitioned_store_prunes_partitions(spark, tmp_path):
+    """Plan-level: a const-predicate alpha selection over the bucketed store
+    carries a __pb partition filter — the scan prunes to the predicate's
+    bucket files instead of reading the whole store."""
+    import os
+
+    from arachne_spark.rules import Var
+
+    ckpt = str(tmp_path / "ckpt")
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(5)]
+    eng = FixpointEngine(
+        spark, _trans_rules(), checkpoint_dir=ckpt, pred_partitioned=True
+    )
+    res = eng.materialize(triples_df(spark, chain))
+    store = eng._store_read(os.path.join(ckpt, "facts_by_p"), res.metrics[-1].round)
+    rel = FixpointEngine._atom_rel({}, store, (Var("x"), f"<{R}>", Var("y")))
+    plan = rel._jdf.queryExecution().executedPlan().toString()
+    assert "__pb" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    # and the bucketed scan returns exactly the predicate's facts
+    assert rel.count() == res.facts.filter(F.col("p") == f"<{R}>").count()

@@ -181,3 +181,30 @@ def test_facade_isiri_filters(spark):
     assert {
         x["value"] for x in r.object_property_values(EX + "i1", EX + "knows", inverse=True).collect()
     } == {e("i3")}
+
+
+def test_reasoner_invalidate_after_incremental(spark):
+    """Memoized cones are tied to the facts snapshot; invalidate() (or a
+    fresh Reasoner) picks up an incremental() result's new facts."""
+    from arachne_spark.engine import FixpointEngine
+    from arachne_spark.model import RDFS_SUBCLASSOF, encode_iri
+    from arachne_spark.rules import load_rules_json
+    from tests.conftest import triples_df
+
+    SCO = RDFS_SUBCLASSOF
+    rules = load_rules_json(
+        [{"name": "scoT", "body": [["?a", SCO, "?b"], ["?b", SCO, "?c"]],
+          "head": [["?a", SCO, "?c"]]}]
+    )
+    eng = FixpointEngine(spark, rules)
+    res = eng.materialize(
+        triples_df(spark, [("<A>", encode_iri(SCO), "<B>"), ("<B>", encode_iri(SCO), "<C>")])
+    )
+    r = Reasoner(res.facts)
+    subs_before = {row["cls"] for row in r.subclasses("C").collect()}
+    assert subs_before == {"<A>", "<B>"}
+    res2 = eng.incremental(res, triples_df(spark, [("<Z>", encode_iri(SCO), "<A>")]))
+    # stale snapshot still memoized; invalidate with the new facts
+    r.invalidate(res2.facts)
+    subs_after = {row["cls"] for row in r.subclasses("C").collect()}
+    assert subs_after == {"<A>", "<B>", "<Z>"}

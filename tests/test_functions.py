@@ -222,9 +222,11 @@ def test_simhash_neardup_pairs(spark):
     got = {(r["id_a"], r["id_b"]) for r in simhash_neardup_pairs(d, max_hamming=8).collect()}
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
-    # identical docs: hamming 0
+    # identical docs: hamming 0 — exact duplicates collapse by default, so
+    # the raw pair is only visible with collapse_exact=False
     d2 = docs_df(spark, [(1, base), (2, base)])
-    rows = simhash_neardup_pairs(d2, max_hamming=0).collect()
+    assert simhash_neardup_pairs(d2, max_hamming=0).collect() == []
+    rows = simhash_neardup_pairs(d2, max_hamming=0, collapse_exact=False).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows] == [(1, 2, 0)]
 
 
@@ -273,3 +275,56 @@ def test_kmeans_fit_recovers_clusters(spark):
     assign = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(emb, centroids=cents).collect()}
     assert all(assign[i] == 0 for i in range(2, 12))
     assert all(assign[i] == 1 for i in range(12, 22))
+
+
+def test_lsh_collapses_exact_duplicate_cliques(spark):
+    """10k identical docs must NOT become ~5*10^7 candidate pairs: the exact
+    clique collapses to one representative before banding (VERDICT r2
+    'what's wrong' #3 — quadratic hot-bucket blowup), completing in
+    bucket-linear time. The clique itself is exact_dup_groups' output."""
+    base = "exactly the same boilerplate text repeated many many times over"
+    rows = [(i, base) for i in range(10_000)] + [
+        (20_000, base + " tail"),
+        (20_001, "completely different words entirely in this one document"),
+    ]
+    d = docs_df(spark, rows)
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(d).collect()}
+    # representative (min id 0) pairs with the near-dup; no intra-clique pairs
+    assert pairs == {(0, 20_000)}
+    groups = {r["keeper"]: r["n_docs"] for r in exact_dup_groups(d).collect()}
+    assert groups[0] == 10_000
+    # opt-out reproduces the raw (quadratic) semantics on small data
+    raw = lsh_candidate_pairs(
+        docs_df(spark, [(1, base), (2, base)]), collapse_exact=False
+    )
+    assert {(r["id_a"], r["id_b"]) for r in raw.collect()} == {(1, 2)}
+
+
+def test_lsh_hot_bucket_cap_logged_not_silent(spark, caplog):
+    """DISTINCT texts sharing one band bucket beyond max_bucket are excluded
+    from pair generation with a logged count — never silently."""
+    import logging
+
+    # same first-3 words => shared 3-shingle likely wins several band minima;
+    # distinct tails keep them non-exact-duplicates
+    rows = [(i, f"alpha beta gamma unique{i} tail{i}") for i in range(30)]
+    d = docs_df(spark, rows)
+    with caplog.at_level(logging.WARNING, logger="arachne_spark.functions.dedup"):
+        capped = lsh_candidate_pairs(d, max_bucket=5).collect()
+    assert any("hot bucket" in r.message for r in caplog.records)
+    uncapped = lsh_candidate_pairs(d, max_bucket=None).collect()
+    assert len(capped) < len(uncapped)
+
+
+def test_simhash_neardup_collapses_exact(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [(i, base) for i in range(50)] + [(100, base + " thirteen")]
+    d = docs_df(spark, rows)
+    from arachne_spark.functions.dedup import simhash_neardup_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup_pairs(d, max_hamming=8).collect()
+    }
+    # only representative-to-neardup; the 50-clique emits no pairs here
+    assert pairs == {(0, 100)}

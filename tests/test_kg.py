@@ -182,3 +182,36 @@ def test_pipeline_end_to_end(spark, corpus, edict, tmp_path):
     ).count()
     assert dep > 0
     assert (tmp_path / "kg_ckpt" / "metrics.jsonl").exists()
+
+
+def test_extract_expr_matches_pandas_path(spark):
+    """Differential: the codegen'd regexp_extract_all extraction produces
+    EXACTLY the rows of the Arrow mapInPandas extractor on the synthetic
+    corpus (same dual-path parity evidence as the link scorer)."""
+    corpus = gen_code_files(spark, 400).localCheckpoint(eager=True)
+    cols = [
+        "repo", "path", "commit", "lang",
+        "content_sha256", "mention", "mention_kind",
+    ]
+    a = {tuple(r) for r in extract_mentions(corpus).select(*cols).collect()}
+    b = {
+        tuple(r)
+        for r in extract_mentions(corpus, use_pandas_udf=True)
+        .select(*cols)
+        .collect()
+    }
+    assert a == b
+    assert len(a) > 100
+
+
+def test_extract_expr_no_python_stage(spark):
+    """Plan-level: the default extract path contains no Python/Arrow eval
+    stage — the regexes run inside whole-stage codegen."""
+    corpus = gen_code_files(spark, 50)
+    plan = (
+        extract_mentions(corpus)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan

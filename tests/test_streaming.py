@@ -128,13 +128,23 @@ def test_user_running_stats_stream_matches_batch(spark, tmp_path):
 def test_windowed_counts_stream_with_watermark(spark, tmp_path):
     """Streaming watermarked window agg: append mode finalizes a window once
     the watermark passes; results equal the batch formula on the same data,
-    and an event later than the watermark delay is dropped."""
+    and an event later than the watermark delay is dropped.
+
+    Watermark advancement is driven EXPLICITLY with two availableNow query
+    phases over one checkpoint: phase 1 processes the early events plus the
+    watermark-advancing 15:00 event and terminates (committing watermark =
+    13:00); the too-late 10:30 file is only written afterwards, and phase 2
+    restarts from the checkpoint with the restored watermark, so the drop is
+    deterministic regardless of file mtime ordering or suite load (the
+    single-query maxFilesPerTrigger formulation raced on modification-time
+    ordering and flaked under parallel load)."""
     import os
 
     from arachne_spark.streaming.windows import windowed_counts_stream
 
     src = str(tmp_path / "ev_in")
     os.makedirs(src, exist_ok=True)
+    ckpt = str(tmp_path / "wm_ckpt")
     early = [
         ("2024-01-01 10:05:00", "click", 1.0),
         ("2024-01-01 10:15:00", "click", 2.0),
@@ -142,42 +152,49 @@ def test_windowed_counts_stream_with_watermark(spark, tmp_path):
     ]
     # advances watermark far past the 10:00 window (+2h delay)
     late_batch = [("2024-01-01 15:00:00", "click", 1.0)]
-    # older than watermark -> must be DROPPED
+    # older than the committed watermark -> must be DROPPED in phase 2
     too_late = [("2024-01-01 10:30:00", "click", 99.0)]
-    # FileStreamSource consumes files in modification-time order; under
-    # parallel suite load the three batches' mtimes can collide, letting the
-    # too-late file overtake the watermark-advancing one. Force one file per
-    # batch (coalesce) and strictly increasing mtimes (os.utime) so watermark
-    # advancement is deterministic.
-    base_mtime = 1_700_000_000
-    for i, rows in enumerate([early, late_batch, too_late]):
-        spark.createDataFrame(rows, "ts string, event_type string, value double").select(
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "ts string, event_type string, value double"
+        ).select(
             F.to_timestamp("ts").alias("ts"), "event_type", "value"
-        ).coalesce(1).write.parquet(f"{src}/b{i}")
-        for root, _dirs, files in os.walk(f"{src}/b{i}"):
-            for f in files:
-                path = os.path.join(root, f)
-                os.utime(path, (base_mtime + 60 * i, base_mtime + 60 * i))
-    stream = (
-        spark.readStream.schema("ts timestamp, event_type string, value double")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src + "/*")
-    )
-    q = (
-        windowed_counts_stream(stream)
-        .writeStream.format("memory")
-        .queryName("win_counts")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    rows = {
-        (str(r["ws"]), r["event_type"], r["n"], r["sum_value"])
-        for r in spark.sql("select * from win_counts").collect()
-    }
-    # the 10:00 window finalized WITHOUT the too-late 99.0 event
-    assert ("2024-01-01 10:00:00", "click", 2, 3.0) in rows
-    assert ("2024-01-01 10:00:00", "view", 1, 5.0) in rows
-    assert not any(r[3] == 99.0 or r[3] == 102.0 for r in rows)
+        ).coalesce(1).write.parquet(f"{src}/{name}")
+
+    out = str(tmp_path / "wm_out")
+
+    def run_phase():
+        # parquet FILE sink: the only built-in sink that RECOVERS from a
+        # checkpoint (memory sink raises "does not support recovering")
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).parquet(src + "/*")
+        q = (
+            windowed_counts_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (str(r["ws"]), r["event_type"], r["n"], r["sum_value"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    write_batch("b0", early)
+    write_batch("b1", late_batch)
+    rows1 = run_phase()
+    # phase 1 committed watermark 13:00 -> the 10:00 window is finalized
+    assert ("2024-01-01 10:00:00", "click", 2, 3.0) in rows1
+    assert ("2024-01-01 10:00:00", "view", 1, 5.0) in rows1
+
+    write_batch("b2", too_late)
+    rows2 = run_phase()  # cumulative: phase-2 emissions = rows2 - rows1
+    # the restored watermark drops the 10:30 event: no re-emission of the
+    # 10:00 window and no 99.0/102.0 anywhere
+    assert not any(r[3] in (99.0, 102.0) for r in rows2)
+    assert not any(r[0] == "2024-01-01 10:00:00" for r in rows2 - rows1)
