@@ -409,7 +409,13 @@ class FixpointEngine:
         # SURVEY O1: keep the facts relation as parquet partitioned by a
         # predicate hash bucket under checkpoint_dir — const-predicate alpha
         # scans then prune to 1/PB_BUCKETS of the files. Requires
-        # checkpoint_dir; per-round cost is an O(|delta|) append.
+        # checkpoint_dir; per-round cost is an O(|delta|) append. Opt-in:
+        # below ~executor-memory scale the in-memory localCheckpoint store
+        # scans faster than parquet decode (measured: tools/
+        # roundfloor_bench.py); the bucketed store is for facts stores that
+        # exceed memory — where a durable partitioned layout is the only
+        # option and pruning cuts the per-round scan tax by ~PB_BUCKETS for
+        # selective predicates.
         self.pred_partitioned = pred_partitioned and checkpoint_dir is not None
         self._string_ctx = _compile_rules(ruleset)
         self._const_terms = rule_constants(ruleset)
@@ -748,7 +754,14 @@ class FixpointEngine:
         return raw
 
     # -- predicate-bucketed facts store (SURVEY O1) -------------------------
-    def _store_append(self, delta: DataFrame, store_dir: str, rnd: int) -> None:
+    def _store_append(
+        self, delta: DataFrame, store_dir: str, rnd: int, n_rows: Optional[int] = None
+    ) -> None:
+        # bound file-count growth: a small late-round delta written from 32
+        # tasks x 64 buckets would add ~2k tiny files per round; coalescing
+        # by size keeps appends at <= tasks-per-round x touched buckets
+        if n_rows is not None:
+            delta = delta.coalesce(max(1, min(32, n_rows // 250_000 + 1)))
         (
             delta.withColumn("__rnd", F.lit(rnd))
             .withColumn("__pb", _pb_write_col(delta))
@@ -1014,7 +1027,7 @@ class FixpointEngine:
             if store_dir:
                 # O(|delta|) partitioned append; the re-read is a fresh
                 # parquet relation, so no LogicalRDD aliasing with the delta
-                self._store_append(new_delta, store_dir, rnd)
+                self._store_append(new_delta, store_dir, rnd, n_rows=delta_out)
                 facts = self._store_read(store_dir, rnd)
             else:
                 # The delta must not appear as the SAME LogicalRDD both

@@ -103,7 +103,24 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
     # distinct was the round-1 extraction bottleneck, while an un-distinct'd
     # checkpoint is one map pass + block write and makes the engine's
     # dictionary/encode passes cheap scans instead of extraction re-runs.
-    abox = build_triples(corpus, edict, dedup=False).localCheckpoint(eager=True)
+    # Staging-store choice for the candidate-triple table (the engine scans
+    # it ~5x: count, per-column vocab distincts, encode). `parquet` writes a
+    # compressed columnar snapshot to local disk and re-reads it — the
+    # realistic cluster shape (staging tables live on distributed storage)
+    # and MUCH cheaper than block-manager localCheckpoint of fat string rows
+    # in separate-executor mode (r2 measured block-store writes ~5x the
+    # equivalent recompute).
+    abox_store = os.environ.get("SPARK_GRAFT_ABOX_STORE", "memory")
+    if abox_store == "parquet":
+        import tempfile
+
+        abox_dir = tempfile.mkdtemp(prefix="abox_") + "/triples"
+        build_triples(corpus, edict, dedup=False).write.mode("overwrite").parquet(
+            abox_dir
+        )
+        abox = spark.read.parquet(abox_dir)
+    else:
+        abox = build_triples(corpus, edict, dedup=False).localCheckpoint(eager=True)
     n_abox = abox.count()
     t_extract = time.time() - t0
 

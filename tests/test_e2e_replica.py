@@ -198,3 +198,52 @@ def test_cli_end_to_end(spark, tmp_path):
     assert exported == expect
     for triple in CHECKLIST:
         assert triple in exported
+
+
+def test_spark_submit_py_files_e2e(tmp_path):
+    """North-rule invocation shape: package the library as a zip, run the
+    pipeline via `spark-submit --py-files` in a FRESH driver process (no
+    repo dir on sys.path — the zip must supply every module), and check the
+    produced parquet triples."""
+    import json
+    import shutil
+    import subprocess
+    import zipfile
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        pytest.skip("spark-submit not on this host")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = str(tmp_path / "arachne_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(repo, "arachne_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo))
+    out = str(tmp_path / "kg_out")
+    p = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zpath,
+            os.path.join(repo, "tools", "submit_job.py"),
+            "--n-files", "2000",
+            "--output", out,
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),  # NOT the repo: imports must come from the zip
+        timeout=600,
+    )
+    assert p.returncode == 0, p.stderr[-3000:]
+    stats = json.loads(
+        [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert stats["facts"] > 0 and stats["rounds"] >= 1
+    import glob
+
+    assert glob.glob(out + "/*.parquet") or glob.glob(out + "/part-*")
