@@ -143,6 +143,54 @@ def read_ntriples(
     )
 
 
+# N-Quads line: N-Triples + an optional graph label (IRI or bnode) before
+# the terminating dot (lines without one belong to the default graph)
+_QLINE_RE = (
+    r'^\s*(<[^>]*>|_:\S+)'
+    r'\s+(<[^>]*>)'
+    r'\s+(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)'
+    r'(?:\s+(<[^>]*>|_:\S+))?'
+    r'\s*\.\s*$'
+)
+
+
+def read_nquads(
+    spark: SparkSession,
+    path: Union[str, Iterable[str]],
+    with_graph: bool = False,
+) -> DataFrame:
+    """Read N-Quads file(s)/folder — the line-based bulk-dump format most
+    public RDF corpora ship as (each line carries an optional named-graph
+    label). Same pure-Catalyst pipeline as read_ntriples; N-Triples input is
+    valid N-Quads, so this also subsumes S1's file/folder loading.
+
+    with_graph=False (default) projects to the engine's 3-column schema
+    (graph labels dropped — the reference merges all data files into ONE
+    model the same way, Main.scala:71-74); with_graph=True keeps a 4th
+    encoded `g` column (empty string for default-graph lines)."""
+    paths = (
+        _expand_paths(path)
+        if isinstance(path, str)
+        else [p for x in path for p in _expand_paths(x)]
+    )
+    lines = spark.read.text(paths)
+    parsed = lines.select(
+        F.regexp_extract("value", _QLINE_RE, 1).alias("s"),
+        F.regexp_extract("value", _QLINE_RE, 2).alias("p"),
+        F.regexp_extract("value", _QLINE_RE, 3).alias("o"),
+        F.regexp_extract("value", _QLINE_RE, 4).alias("g"),
+    ).filter((F.col("s") != "") & (F.col("p") != "") & (F.col("o") != ""))
+    out = parsed.select(
+        _decode_uchar_escapes(F.col("s")).alias("s"),
+        _decode_uchar_escapes(F.col("p")).alias("p"),
+        F.when(
+            F.col("o").startswith('"'), _normalize_nt_escapes(F.col("o"))
+        ).otherwise(_decode_uchar_escapes(F.col("o"))).alias("o"),
+        _decode_uchar_escapes(F.col("g")).alias("g"),
+    )
+    return out if with_graph else out.drop("g")
+
+
 def write_ntriples(df: DataFrame, path: str, single_file: bool = False) -> None:
     """Write encoded triples as N-Triples text (S5). Control characters in
     literals are re-escaped to keep one triple per line."""

@@ -151,3 +151,35 @@ def test_read_turtle_and_rdfxml_dataframes(spark, tmp_path):
     )
     rows2 = {tuple(r) for r in read_rdfxml(spark, str(rdf)).collect()}
     assert rows2 == {("<http://ex/a>", "<http://ex/p>", "<http://ex/b>")}
+
+
+def test_read_nquads(spark, tmp_path):
+    """N-Quads: optional graph label per line; default projection merges all
+    graphs into the 3-column schema (the reference merges data files into
+    one model, Main.scala:71-74); with_graph keeps the label."""
+    from arachne_spark.sources.ntriples import read_nquads
+
+    p = tmp_path / "data.nq"
+    p.write_text(
+        '<http://a> <http://p> <http://b> <http://g1> .\n'
+        '<http://b> <http://p> "lit\\n2" <http://g2> .\n'
+        '<http://c> <http://p> _:x .\n'          # default graph (pure NT line)
+        '# comment\n'
+        'garbage line\n'
+    )
+    df = read_nquads(spark, str(p))
+    assert set(df.columns) == {"s", "p", "o"}
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == {
+        ("<http://a>", "<http://p>", "<http://b>"),
+        ("<http://b>", "<http://p>", '"lit\n2"'),
+        ("<http://c>", "<http://p>", "_:x"),
+    }
+    with_g = {
+        (r["s"], r["g"]) for r in read_nquads(spark, str(p), with_graph=True).collect()
+    }
+    assert with_g == {
+        ("<http://a>", "<http://g1>"),
+        ("<http://b>", "<http://g2>"),
+        ("<http://c>", ""),
+    }
