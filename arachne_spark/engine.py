@@ -69,7 +69,7 @@ from functools import reduce
 from itertools import product as _iter_product
 from typing import Optional
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -956,8 +956,16 @@ class FixpointEngine:
                 # plain shuffled left_anti. Late fixpoint rounds have tiny
                 # deltas, so this turns their cost from O(|facts| shuffle)
                 # into O(|facts| scan).
-                dd = derived.distinct().localCheckpoint(eager=True)
-                n_dd = dd.count()
+                # Observation folds the row count into the checkpoint's own
+                # job — one fewer scheduler round-trip per round, which is
+                # exactly the fixed floor small-delta rounds are bound by
+                obs = Observation()
+                dd = (
+                    derived.distinct()
+                    .observe(obs, F.count(F.lit(1)).alias("n"))
+                    .localCheckpoint(eager=True)
+                )
+                n_dd = obs.get["n"]
                 if n_dd == 0:
                     # fixpoint reached: skip the anti-join jobs entirely
                     new_delta = dd
