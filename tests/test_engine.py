@@ -363,3 +363,35 @@ def test_pred_partitioned_store_prunes_partitions(spark, tmp_path):
     assert "__pb" in plan.split("PartitionFilters")[1].split("]")[0], plan
     # and the bucketed scan returns exactly the predicate's facts
     assert rel.count() == res.facts.filter(F.col("p") == f"<{R}>").count()
+
+
+def test_pred_partitioned_store_id_mode(spark, tmp_path):
+    """Bucketed store under dict encoding: the long-id bucket column
+    (pmod(id, PB)) and the driver-side constant bucket (Python % PB) must
+    agree, including for negative xxhash64 ids."""
+    ckpt = str(tmp_path / "ckpt")
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(8)]
+    other = [(f"<n{i}>", "<http://ex/lbl>", f'"L{i}"') for i in range(8)]
+    eng = FixpointEngine(
+        spark, _trans_rules(), checkpoint_dir=ckpt,
+        pred_partitioned=True, dict_encode=True,
+    )
+    res = eng.materialize(triples_df(spark, chain + other))
+    base = FixpointEngine(spark, _trans_rules(), dict_encode=True).materialize(
+        triples_df(spark, chain + other)
+    )
+    assert spo_set(res.facts) == spo_set(base.facts)
+    # the id-mode alpha scan prunes on the predicate id's bucket
+    import os as _os
+
+    from arachne_spark.dictionary import lookup_term_ids
+    from arachne_spark.rules import Var
+
+    pid = lookup_term_ids(spark, [f"<{R}>"], res.salt)[f"<{R}>"]
+    store = eng._store_read(
+        _os.path.join(ckpt, "facts_by_p"), res.metrics[-1].round
+    )
+    rel = FixpointEngine._atom_rel({}, store, (Var("x"), pid, Var("y")))
+    assert rel.count() == res.facts_ids.filter(F.col("p") == pid).count()
+    plan = rel._jdf.queryExecution().executedPlan().toString()
+    assert "__pb" in plan.split("PartitionFilters")[1].split("]")[0], plan
