@@ -142,6 +142,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dec_id(F.col("s")).alias("src"), _dec_id(F.col("o")).alias("dst")
         )
 
+    def r13_tc_bucketed_store(spark, sf_dir):
+        """O1: the SAME transitive-closure fixpoint on the predicate-bucketed
+        parquet facts store (pred_partitioned=True) — every round appends to
+        a partitioned store and re-reads it with partition-pruned alpha
+        scans; the oracle certifies store-path results equal the recursive
+        SQL closure exactly."""
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            res = FixpointEngine(
+                spark,
+                _trans_ruleset(),
+                dict_encode=True,
+                checkpoint_dir=td,
+                pred_partitioned=True,
+            ).materialize(_tree_triples(spark, sf_dir))
+            # pin rows before the tempdir vanishes
+            rows = res.facts.select(
+                _dec_id(F.col("s")).alias("src"), _dec_id(F.col("o")).alias("dst")
+            ).localCheckpoint(eager=True)
+        return rows
+
     def r13_incremental(spark, sf_dir):
         """Incremental maintenance (Rete reuse analogue, README.md:9): seed
         the store from even-source edges, then assert the odd rest; the
@@ -614,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "r13_fixpoint_tc": r13_fixpoint_tc,
         "r13_incremental": r13_incremental,
+        "r13_tc_bucketed_store": r13_tc_bucketed_store,
         "s6_inferred_only": s6_inferred_only,
         "r5_body_join": r5_body_join,
         "r3_repeated_var_guard": r3_repeated_var_guard,
@@ -730,6 +753,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "r13_fixpoint_tc": tc + " SELECT src, dst FROM clo",
         "r13_incremental": tc + " SELECT src, dst FROM clo",
+        "r13_tc_bucketed_store": tc + " SELECT src, dst FROM clo",
         "s6_inferred_only": tc + f" SELECT src, dst FROM clo EXCEPT {_TREE_SQL}",
         "r5_body_join": (
             "SELECT o.o_orderkey, c.c_nationkey AS n_nationkey "
