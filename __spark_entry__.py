@@ -516,6 +516,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return simhash(_t(spark, sf_dir, "documents"))
 
+    def dedup_simhash_pairs(spark, sf_dir):
+        """The FULL SimHash near-dup path: exact-clique collapse ->
+        16-bit-band blocking -> exact 64-bit Hamming verify (<= 8)."""
+        from arachne_spark.functions.dedup import simhash_neardup_pairs
+
+        return simhash_neardup_pairs(
+            _t(spark, sf_dir, "documents"), max_hamming=8
+        )
+
     def q4_anchored_descendants(spark, sf_dir):
         """Q4 anchored: descendants of ONE node via broadcast frontier walk
         (never materializes the global closure)."""
@@ -659,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "emb_neardup": emb_neardup,
         "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
         "q4_anchored_descendants": q4_anchored_descendants,
         "text_langid": text_langid,
         "text_quality": text_quality,
@@ -880,6 +890,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_neardup": """WITH e AS (SELECT vec_id, embedding::DOUBLE[] de FROM embeddings), c AS (SELECT vec_id, de FROM e UNION ALL  SELECT vec_id + 100000, list_concat([de[1] + 0.01], de[2:]) FROM e), sg AS (SELECT vec_id, de, (CASE WHEN list_dot_product(de, list_transform(range(0, len(de)), d -> ((('0x'||substr(md5('42:'||0||':'||d),1,8))::BIGINT % 2000003) / 1000003.0 - 1.0))) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END) + (CASE WHEN list_dot_product(de, list_transform(range(0, len(de)), d -> ((('0x'||substr(md5('42:'||1||':'||d),1,8))::BIGINT % 2000003) / 1000003.0 - 1.0))) >= 0 THEN 2::BIGINT ELSE 0::BIGINT END) + (CASE WHEN list_dot_product(de, list_transform(range(0, len(de)), d -> ((('0x'||substr(md5('42:'||2||':'||d),1,8))::BIGINT % 2000003) / 1000003.0 - 1.0))) >= 0 THEN 4::BIGINT ELSE 0::BIGINT END) + (CASE WHEN list_dot_product(de, list_transform(range(0, len(de)), d -> ((('0x'||substr(md5('42:'||3||':'||d),1,8))::BIGINT % 2000003) / 1000003.0 - 1.0))) >= 0 THEN 8::BIGINT ELSE 0::BIGINT END) AS sig FROM c), p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,  round(list_dot_product(a.de, b.de) /   (sqrt(list_dot_product(a.de, a.de)) * sqrt(list_dot_product(b.de, b.de))), 4) AS sim  FROM sg a JOIN sg b ON a.sig = b.sig AND a.vec_id < b.vec_id) SELECT DISTINCT id_a, id_b, sim FROM p WHERE sim >= 0.95""",
         "dedup_simhash": _simhash_sql(),
+        # full simhash near-dup chain: keepers (collapse_exact) -> band
+        # blocking -> exact Hamming over the 64-bit signatures
+        "dedup_simhash_pairs": (
+            f"WITH sig AS ({_simhash_sql()}), "
+            "k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)), "
+            "sk AS (SELECT sig.* FROM sig JOIN k USING (doc_id)), "
+            "b AS ("
+            " SELECT doc_id, simhash, 0 AS bi, band16_0 AS bv FROM sk UNION ALL"
+            " SELECT doc_id, simhash, 1, band16_1 FROM sk UNION ALL"
+            " SELECT doc_id, simhash, 2, band16_2 FROM sk UNION ALL"
+            " SELECT doc_id, simhash, 3, band16_3 FROM sk) "
+            "SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, "
+            " bit_count(xor(a.simhash, c.simhash)) AS hamming "
+            "FROM b a JOIN b c ON a.bi = c.bi AND a.bv = c.bv AND a.doc_id < c.doc_id "
+            "WHERE bit_count(xor(a.simhash, c.simhash)) <= 8"
+        ),
         "q4_anchored_descendants": (
             f"WITH RECURSIVE e AS ({_TREE_SQL}), "
             "d AS (SELECT src FROM e WHERE dst = 3 "
