@@ -113,42 +113,83 @@ def build_term_dict(
     )
 
 
-def _delta_plan(
-    term_dict: DataFrame, new_triples: DataFrame, salt: int
-) -> DataFrame:
-    """The lazy new-terms plan: distinct over the BATCH only, then a
-    left_anti against the dictionary — the dictionary side is never
-    aggregated or re-hashed (plan-asserted in tests)."""
-    return (
-        new_triples.select(
-            F.explode(F.array(*[F.col(c) for c in TRIPLE_COLS])).alias("term")
-        )
-        .distinct()
-        .join(term_dict.select("term"), on="term", how="left_anti")
-        .select("term", term_id_col(F.col("term"), salt).alias("id"))
+# Batches at or below this many distinct terms take the two-pass broadcast
+# membership path (the dictionary is streamed map-only); larger batches fall
+# back to a plain shuffled anti-join, which is correct at any size.
+DELTA_BROADCAST_ROWS = 200_000
+
+
+def _batch_terms_plan(new_triples: DataFrame) -> DataFrame:
+    """Distinct term vocabulary of ONE batch — the only aggregate in the
+    incremental path, and it runs over the batch, never the dictionary."""
+    return new_triples.select(
+        F.explode(F.array(*[F.col(c) for c in TRIPLE_COLS])).alias("term")
+    ).distinct()
+
+
+def _seen_terms_plan(term_dict: DataFrame, batch_terms: DataFrame) -> DataFrame:
+    """Dictionary terms that appear in the (broadcast) batch.
+
+    LeftSemi with the SMALL side broadcast as the build side streams the
+    billions-row dictionary map-only — no Exchange ever touches the
+    dictionary (plan-asserted in tests). This is the engine's two-pass
+    membership trick (engine.py round-loop dedup) applied to dictionary
+    maintenance; the naive `batch.join(dict, how="left_anti")` form would put
+    the dictionary on the BUILD side of a BroadcastHashJoin (impossible at
+    scale) or shuffle both sides (a full-vocab shuffle per micro-batch)."""
+    return term_dict.select("term").join(
+        F.broadcast(batch_terms), on="term", how="left_semi"
+    )
+
+
+def _collision_probe_plan(term_dict: DataFrame, new_ids: DataFrame) -> DataFrame:
+    """Dictionary rows whose id collides with a (broadcast) new-term id —
+    same map-only shape: the dictionary is scanned, never shuffled."""
+    return term_dict.select("id").join(
+        F.broadcast(new_ids), on="id", how="left_semi"
     )
 
 
 def dict_delta(
-    term_dict: DataFrame, new_triples: DataFrame, salt: int
+    term_dict: DataFrame,
+    new_triples: DataFrame,
+    salt: int,
+    broadcast_rows: int = DELTA_BROADCAST_ROWS,
 ) -> DataFrame:
     """The batch's GENUINELY NEW dictionary rows, verified collision-free —
-    O(|batch|) work, never touching the full vocabulary.
+    O(|batch|) shuffle work; the full vocabulary is only ever STREAMED
+    (map-only scans), never shuffled or re-aggregated.
 
-    distinct() runs over the batch's terms only; the left_anti against the
-    existing dictionary and the id semi-join collision check are both
-    small-batch × large-dict hash joins (broadcast-able on the batch side).
+    distinct() runs over the batch's terms only. Membership against the
+    existing dictionary uses two broadcast passes (semi to find the batch
+    terms the dictionary already has, anti against that small `seen` set) so
+    the dictionary stays on the streamed side of both joins; batches larger
+    than ``broadcast_rows`` distinct terms fall back to a plain shuffled
+    left_anti. The id collision check streams the dictionary the same way.
     The salt is FIXED (already-encoded facts can't be re-salted); a collision
     — new term vs existing id, or within the batch — raises, and the correct
     recovery is a full re-materialization (at 64 bits this is a
     practically-impossible event)."""
-    new_terms = _delta_plan(term_dict, new_triples, salt).localCheckpoint(eager=True)
+    batch = _batch_terms_plan(new_triples).localCheckpoint(eager=True)
+    n_batch = batch.count()
+    if 0 < n_batch <= broadcast_rows:
+        seen = _seen_terms_plan(term_dict, batch).localCheckpoint(eager=True)
+        fresh = batch.join(F.broadcast(seen), on="term", how="left_anti")
+    else:
+        fresh = batch.join(term_dict.select("term"), on="term", how="left_anti")
+    new_terms = fresh.select(
+        "term", term_id_col(F.col("term"), salt).alias("id")
+    ).localCheckpoint(eager=True)
     row = new_terms.agg(
         F.count("*").alias("n"), F.countDistinct("id").alias("k")
     ).collect()[0]
     clashes = (
         0
         if row["n"] == 0
+        else _collision_probe_plan(
+            term_dict, new_terms.select("id").localCheckpoint(eager=True)
+        ).count()
+        if row["n"] <= broadcast_rows
         else new_terms.join(term_dict, on="id", how="left_semi").count()
     )
     if row["n"] != row["k"] or clashes:

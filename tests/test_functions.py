@@ -302,18 +302,59 @@ def test_lsh_collapses_exact_duplicate_cliques(spark):
 
 def test_lsh_hot_bucket_cap_logged_not_silent(spark, caplog):
     """DISTINCT texts sharing one band bucket beyond max_bucket are excluded
-    from pair generation with a logged count — never silently."""
+    from pair generation with a logged count AND a stats record — never
+    silently (ADVICE r3: programmatic signal, not just a log)."""
     import logging
 
     # same first-3 words => shared 3-shingle likely wins several band minima;
     # distinct tails keep them non-exact-duplicates
     rows = [(i, f"alpha beta gamma unique{i} tail{i}") for i in range(30)]
     d = docs_df(spark, rows)
+    stats: dict = {}
     with caplog.at_level(logging.WARNING, logger="arachne_spark.functions.dedup"):
-        capped = lsh_candidate_pairs(d, max_bucket=5).collect()
+        capped = lsh_candidate_pairs(
+            d, max_bucket=5, census_min_rows=0, stats=stats
+        ).collect()
     assert any("hot bucket" in r.message for r in caplog.records)
+    assert stats["census_ran"] and stats["hot_buckets_dropped"] >= 1
+    assert stats["hot_rows_dropped"] > 5
     uncapped = lsh_candidate_pairs(d, max_bucket=None).collect()
     assert len(capped) < len(uncapped)
+
+
+def test_lsh_census_skipped_below_threshold(spark):
+    """The hot-bucket census (two extra jobs) is a 100 TB guard: it must not
+    run at small scale (below census_min_rows) or when pigeonhole proves no
+    bucket can exceed the cap (VERDICT r3 wrong #2)."""
+    rows = [(i, f"alpha beta gamma unique{i} tail{i}") for i in range(30)]
+    d = docs_df(spark, rows)
+    stats: dict = {}
+    pairs = lsh_candidate_pairs(d, stats=stats).collect()
+    assert stats["census_ran"] is False
+    assert stats["n_signature_rows"] == 30 * 4
+    assert stats["hot_buckets_dropped"] == 0
+    # default-guard output at small scale == unguarded output
+    raw = lsh_candidate_pairs(d, collapse_exact=False, max_bucket=None).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {
+        (r["id_a"], r["id_b"]) for r in raw
+    }
+
+
+def test_collapse_exact_reuses_upstream_sha(spark):
+    """A corpus carrying text_sha256 (the common exact-dedup-first pipeline
+    order) must not be re-hashed by _collapse_exact — the column is reused
+    (plan shows no sha2 over the text)."""
+    from arachne_spark.functions.dedup import _collapse_exact
+
+    base = "word " * 20
+    d = docs_df(spark, [(1, base), (2, base), (3, "other text here")])
+    with_sha = d.withColumn("text_sha256", F.sha2(F.col("text"), 256)).localCheckpoint(
+        eager=True
+    )
+    out = _collapse_exact(with_sha, "doc_id", "text")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "sha2(" not in plan, plan
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
 
 
 def test_simhash_neardup_collapses_exact(spark):

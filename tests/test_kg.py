@@ -204,6 +204,42 @@ def test_extract_expr_matches_pandas_path(spark):
     assert len(a) > 100
 
 
+def test_extract_expr_unicode_identifiers(spark):
+    """Non-ASCII identifiers extract identically on both paths (ADVICE r3:
+    Java \\w is ASCII-only without (?U), so the Catalyst default silently
+    dropped Unicode identifiers the pandas/re path extracted)."""
+    rows = [
+        ("r0", "a.py", "c0", "python",
+         "class Ünïcodé(Bäse):\n    def größe(x):\n        y = caféchaud(1)\n"),
+        ("r0", "b.scala", "c0", "scala",
+         "class Überklasse extends Basisklasse {\n  def møde(): Int = 1\n}\n"),
+        ("r0", "c.py", "c0", "python", "import пакет.модуль\n"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    cols = [
+        "repo", "path", "commit", "lang",
+        "content_sha256", "mention", "mention_kind",
+    ]
+    a = {tuple(r) for r in extract_mentions(corpus).select(*cols).collect()}
+    b = {
+        tuple(r)
+        for r in extract_mentions(corpus, use_pandas_udf=True)
+        .select(*cols)
+        .collect()
+    }
+    assert a == b
+    mentions = {(r[5], r[6]) for r in a}
+    assert ("Ünïcodé", "class_def") in mentions
+    assert ("Bäse", "extends") in mentions
+    assert ("größe", "func_def") in mentions
+    assert ("caféchaud", "call") in mentions
+    assert ("Überklasse", "class_def") in mentions
+    assert ("møde", "func_def") in mentions
+    assert ("пакет.модуль", "import") in mentions
+
+
 def test_extract_expr_no_python_stage(spark):
     """Plan-level: the default extract path contains no Python/Arrow eval
     stage — the regexes run inside whole-stage codegen."""
