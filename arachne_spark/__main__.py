@@ -42,39 +42,19 @@ def _time(action: str):
 
 
 def load_data(spark, path: str):
-    """Dispatch by extension, folders recurse (mixed formats allowed)."""
-    from pyspark.sql import functions as F  # noqa: F401
-
-    from arachne_spark.engine import TRIPLE_SCHEMA
-    from arachne_spark.sources.ntriples import _expand_paths, read_ntriples
-    from arachne_spark.sources.rdfxml import parse_rdfxml
-    from arachne_spark.sources.turtle import parse_turtle
+    """Dispatch by extension, folders recurse (mixed formats allowed);
+    many-file Turtle/RDF-XML folders parse one-file-per-task (S1,
+    sources/folder.py)."""
+    from arachne_spark.sources.folder import read_rdf_folder
 
     if os.path.isdir(path) and any(
         f.endswith(".parquet") or f.startswith("part-") for f in os.listdir(path)
     ):
         return spark.read.parquet(path).select("s", "p", "o")
-    files = _expand_paths(path)
-    nt = [f for f in files if f.endswith((".nt", ".ntriples"))]
-    ttl = [f for f in files if f.endswith(".ttl")]
-    xml = [f for f in files if f.endswith((".owl", ".rdf", ".xml"))]
-    parts = []
-    if nt:
-        parts.append(read_ntriples(spark, nt))
-    driver_triples: list[tuple[str, str, str]] = []
-    for f in ttl:
-        with open(f, encoding="utf-8") as fh:
-            driver_triples += parse_turtle(fh.read())
-    for f in xml:
-        driver_triples += parse_rdfxml(f)
-    if driver_triples:
-        parts.append(spark.createDataFrame(driver_triples, TRIPLE_SCHEMA))
-    if not parts:
-        raise SystemExit(f"no readable RDF files under {path}")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    try:
+        return read_rdf_folder(spark, path)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
 
 def load_ontology_rules(path: str, indirect_types: bool):

@@ -1,0 +1,136 @@
+"""Distributed many-file ontology-folder loading (S1 folder case — the
+reference merges every Jena-readable file under a folder into one model,
+Main.scala:63-74).
+
+Line-based syntaxes (N-Triples / N-Quads) are splittable and already read
+distributed (ntriples.py). Turtle and RDF/XML are NOT line-splittable —
+each file must be parsed whole — so a many-file folder dispatches ONE FILE
+PER TASK: the paths become a DataFrame, mapInPandas reads + parses each file
+executor-side with the same pure-Python parsers the driver path uses, and
+the triples come back through Arrow. A 10k-file ontology folder then parses
+with full cluster parallelism instead of serially on the driver (the driver
+path remains for single files). On a real cluster the folder must be on
+shared storage (the usual case for ontology releases); local mode reads the
+local filesystem.
+
+Blank-node scoping: RDF blank nodes are scoped to the DOCUMENT, so `_:b1`
+in two files are different nodes (Jena keeps per-model anon ids; the
+reference inherits that). Both the parallel and the sequential path prefix
+every bnode label with a deterministic per-file scope (md5 of the path), so
+(a) files can never capture each other's bnodes, and (b) the two paths
+produce IDENTICAL triples — pytest-proven.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from arachne_spark.sources.ntriples import _expand_paths, read_ntriples, read_nquads
+
+_NT_EXT = (".nt", ".ntriples")
+_NQ_EXT = (".nq", ".nquads")
+_TTL_EXT = (".ttl",)
+_XML_EXT = (".owl", ".rdf", ".xml")
+
+# Files at/above this count take the distributed path in read_rdf_folder's
+# auto mode; below it, task-dispatch overhead exceeds driver parse time.
+PARALLEL_MIN_FILES = 8
+
+
+def _file_scope(path: str) -> str:
+    return "f" + hashlib.md5(path.encode("utf-8")).hexdigest()[:10]
+
+
+def _scope_bnodes(
+    triples: list[tuple[str, str, str]], scope: str
+) -> list[tuple[str, str, str]]:
+    def fix(t: str) -> str:
+        return f"_:{scope}.{t[2:]}" if t.startswith("_:") else t
+
+    return [(fix(s), p, fix(o)) for s, p, o in triples]
+
+
+def parse_rdf_file(path: str) -> list[tuple[str, str, str]]:
+    """One Turtle/RDF-XML file -> encoded triples with file-scoped bnodes.
+    Runs identically on the driver (sequential path) and inside executor
+    tasks (parallel path)."""
+    from arachne_spark.sources.rdfxml import parse_rdfxml
+    from arachne_spark.sources.turtle import parse_turtle
+
+    if path.endswith(_TTL_EXT):
+        with open(path, encoding="utf-8") as f:
+            triples = parse_turtle(f.read())
+    elif path.endswith(_XML_EXT):
+        triples = parse_rdfxml(path)
+    else:
+        raise ValueError(f"unsupported RDF syntax: {path}")
+    return _scope_bnodes(triples, _file_scope(path))
+
+
+def _parse_path_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = [t for p in pdf["path"] for t in parse_rdf_file(p)]
+        if rows:
+            yield pd.DataFrame(rows, columns=["s", "p", "o"])
+
+
+def _parse_files_parallel(spark: SparkSession, files: list[str]) -> DataFrame:
+    from arachne_spark.engine import TRIPLE_SCHEMA
+
+    paths = spark.createDataFrame([(f,) for f in files], "path string")
+    # one file per task: file parse times vary wildly (a 628 KB OWL vs a
+    # 2-line TTL), so fine-grained tasks + Spark's scheduler do the balancing
+    return paths.repartition(len(files)).mapInPandas(
+        _parse_path_batches, TRIPLE_SCHEMA
+    )
+
+
+def _parse_files_driver(spark: SparkSession, files: list[str]) -> DataFrame:
+    from arachne_spark.engine import TRIPLE_SCHEMA
+
+    rows: list[tuple[str, str, str]] = []
+    for f in files:
+        rows += parse_rdf_file(f)
+    return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+
+
+def read_rdf_folder(
+    spark: SparkSession, path: str, parallel: Optional[bool] = None
+) -> DataFrame:
+    """Read a file or recursive folder of mixed RDF syntaxes into the
+    encoded 3-column schema (S1; skips hidden files and catalog-v001.xml
+    like the reference, Main.scala:66-70).
+
+    N-Triples/N-Quads files go through the splittable pure-Catalyst line
+    readers; Turtle/RDF-XML files parse one-file-per-task when there are
+    ``PARALLEL_MIN_FILES`` or more of them (or ``parallel=True``), else on
+    the driver. Both paths emit identical triples (bnodes are file-scoped)."""
+    files = _expand_paths(path)
+    nt = [f for f in files if f.endswith(_NT_EXT)]
+    nq = [f for f in files if f.endswith(_NQ_EXT)]
+    other = [f for f in files if f.endswith(_TTL_EXT + _XML_EXT)]
+    parts: list[DataFrame] = []
+    if nt:
+        parts.append(read_ntriples(spark, nt))
+    if nq:
+        parts.append(read_nquads(spark, nq))
+    if other:
+        use_parallel = (
+            parallel if parallel is not None else len(other) >= PARALLEL_MIN_FILES
+        )
+        parts.append(
+            _parse_files_parallel(spark, other)
+            if use_parallel
+            else _parse_files_driver(spark, other)
+        )
+    if not parts:
+        raise ValueError(f"no readable RDF files under {path}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,9 +1,18 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
+Runs the full suite $SPARK_GRAFT_BENCH_REPS times (default 3) and reports
+BEST-OF-N per query plus per-query spread and per-rep /proc/stat steal
+seconds — this host shows bursty hypervisor steal (identical jobs varied
+28-77 s; BENCH_r03 moved +9-57% on byte-identical outputs), so single-run
+round-over-round comparisons are unusable (VERDICT r3 missing #1 /
+next-round #3). BASELINE.md's protocol is best-of-N with steal recorded;
+this makes the driver's BENCH_rN follow it.
+
 Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ..., "triples_per_sec": ...,
+  {"metric": "...", "value": <total best sec>, "unit": "sec",
+   "queries": {...per-query BEST sec...}, "queries_spread": {...max-min...},
+   "reps": N, "steal_sec": [per-rep], "sf": ..., "triples_per_sec": ...,
    "facts_materialized": ..., "rounds": ...}
 
 Headliners:
@@ -29,18 +38,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    from arachne_spark.session import build_session
+def _steal_jiffies() -> int:
+    try:
+        with open("/proc/stat", encoding="utf-8") as f:
+            return int(f.readline().split()[8])  # cpu line, steal field
+    except Exception:
+        return 0
 
-    spark = build_session(
-        "arachne_bench",
-        cores=cpus,
-        shuffle_partitions=cpus,
-        extra={"spark.ui.showConsoleProgress": "false"},
-    )
-    sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+def run_suite(spark, sf_dir: str, sf_label: str) -> tuple[dict, dict]:
+    """One full pass over the headline queries -> (timings, extras)."""
     timings: dict[str, float] = {}
     extras: dict = {}
 
@@ -129,10 +136,6 @@ def main() -> None:
         return res
 
     timed("kg_materialize", kg_materialize)
-    if timings["kg_materialize"] > 0:
-        extras["triples_per_sec"] = round(
-            extras["facts_materialized"] / timings["kg_materialize"], 1
-        )
 
     # ---- fixpoint_tc --------------------------------------------------------
     def fixpoint_tc():
@@ -193,13 +196,52 @@ def main() -> None:
     timed("dedup_minhash", dedup_minhash)
     timed("knn", knn)
     timed("text_quality", text_quality)
+    return timings, extras
 
-    total = round(sum(timings.values()), 3)
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    from arachne_spark.session import build_session
+
+    spark = build_session(
+        "arachne_bench",
+        cores=cpus,
+        shuffle_partitions=cpus,
+        extra={"spark.ui.showConsoleProgress": "false"},
+    )
+    sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    all_timings: list[dict[str, float]] = []
+    steals: list[float] = []
+    extras: dict = {}
+    for _ in range(max(1, reps)):
+        s0 = _steal_jiffies()
+        timings, extras = run_suite(spark, sf_dir, sf_label)
+        steals.append(round((_steal_jiffies() - s0) / 100.0, 1))
+        all_timings.append(timings)
+
+    best = {
+        q: min(t[q] for t in all_timings) for q in all_timings[0]
+    }
+    spread = {
+        q: round(max(t[q] for t in all_timings) - best[q], 3)
+        for q in all_timings[0]
+    }
+    total = round(sum(best.values()), 3)
+    if best["kg_materialize"] > 0:
+        extras["triples_per_sec"] = round(
+            extras["facts_materialized"] / best["kg_materialize"], 1
+        )
     out = {
         "metric": "e2e_headline_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": best,
+        "queries_spread": spread,
+        "reps": max(1, reps),
+        "steal_sec": steals,
         "sf": float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label,
         "cpus": cpus,
         **extras,

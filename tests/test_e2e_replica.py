@@ -88,6 +88,11 @@ def test_reference_test1_fixture_e2e(spark):
     res = FixpointEngine(spark, rules).materialize(triples_df(spark, triples))
     got = spo_set(res.facts)
     assert got == naive_fixpoint(triples, rules)
+    # GOLDEN COUNT, pinned like the GO-CAM 611 (VERDICT r3 next-round #9):
+    # translator/parser regressions on this second reference fixture must
+    # fail on a number, not only on the oracle differential
+    assert len(spo_set(res.asserted)) == 86
+    assert res.facts_count == 104
     T = "http://example.org/test/"
 
     def rt(s, p, o):

@@ -183,3 +183,52 @@ def test_read_nquads(spark, tmp_path):
         ("<http://b>", "<http://g2>"),
         ("<http://c>", ""),
     }
+
+
+def test_read_rdf_folder_parallel_matches_sequential(spark, tmp_path):
+    """A 100-file ontology folder parses one-file-per-task with triples
+    IDENTICAL to the driver-sequential path (VERDICT r3 next-round #8; ref
+    Main.scala:63-74 folder loading). Bnodes are file-scoped on BOTH paths,
+    so anonymous nodes in different files can never capture each other."""
+    from arachne_spark.sources.folder import read_rdf_folder
+
+    d = tmp_path / "onto"
+    d.mkdir()
+    for i in range(97):
+        # every file declares a labeled bnode _:b plus an anonymous one —
+        # identical local labels across files must stay DISTINCT nodes
+        (d / f"part{i:03d}.ttl").write_text(
+            f"@prefix ex: <http://ex.org/{i}/> .\n"
+            f"ex:c{i} a ex:Klass ; ex:rel _:b .\n"
+            f"_:b ex:tag [ ex:val {i} ] .\n"
+        )
+    (d / "extra.owl").write_text(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:ex="http://ex.org/x/">'
+        '<rdf:Description rdf:about="http://ex.org/x/s">'
+        '<ex:p rdf:resource="http://ex.org/x/o"/>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    (d / "lines.nt").write_text("<http://a> <http://p> <http://b> .\n")
+    (d / ".hidden.ttl").write_text("garbage that must never be read")
+    (d / "catalog-v001.xml").write_text("<catalog/>")
+
+    par = read_rdf_folder(spark, str(d), parallel=True)
+    seq = read_rdf_folder(spark, str(d), parallel=False)
+    # the parallel path actually dispatched per-file Python tasks
+    plan = par._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    rows_par = {tuple(r) for r in par.collect()}
+    rows_seq = {tuple(r) for r in seq.collect()}
+    assert rows_par == rows_seq
+    assert ("<http://a>", "<http://p>", "<http://b>") in rows_par
+    assert ("<http://ex.org/x/s>", "<http://ex.org/x/p>", "<http://ex.org/x/o>") in rows_par
+    # 97 files x 4 triples + owl + nt
+    assert len(rows_par) == 97 * 4 + 2
+    # per-file scoping: 97 distinct labeled bnodes named _:b locally
+    labeled = {
+        r[2] for r in rows_par if r[2].startswith("_:") and r[2].endswith(".b")
+    }
+    assert len(labeled) == 97
+    # auto mode picks parallel at this file count
+    assert {tuple(r) for r in read_rdf_folder(spark, str(d)).collect()} == rows_par
