@@ -194,6 +194,11 @@ class FixpointResult:
     asserted_ids: Optional[DataFrame] = None
     term_dict: Optional[DataFrame] = None
     salt: int = 0
+    # pred_partitioned runs only: the raw store relation (with __pb/__rnd),
+    # in the run's representation (ids or strings) — lets downstream
+    # consumers (Reasoner.from_result) prune const-predicate scans to the
+    # predicate's bucket files instead of scanning all facts
+    facts_store: Optional[DataFrame] = None
 
     def inferred_only(self) -> DataFrame:
         """facts minus asserted — the --inferred-only export (S6, Main.scala:81).
@@ -393,7 +398,9 @@ class FixpointEngine:
         max_rounds: int = 10_000,
         dict_encode: bool | str = "auto",
         dict_threshold: int = 1_000_000,
-        pred_partitioned: bool = False,
+        pred_partitioned: bool | str = "auto",
+        store_threshold: int = 10_000_000,
+        store_max_files: int = 2_048,
     ) -> None:
         self.spark = spark
         self.ruleset = ruleset
@@ -412,14 +419,19 @@ class FixpointEngine:
         # SURVEY O1: keep the facts relation as parquet partitioned by a
         # predicate hash bucket under checkpoint_dir — const-predicate alpha
         # scans then prune to 1/PB_BUCKETS of the files. Requires
-        # checkpoint_dir; per-round cost is an O(|delta|) append. Opt-in:
-        # below ~executor-memory scale the in-memory localCheckpoint store
-        # scans faster than parquet decode (measured: tools/
-        # roundfloor_bench.py); the bucketed store is for facts stores that
-        # exceed memory — where a durable partitioned layout is the only
-        # option and pruning cuts the per-round scan tax by ~PB_BUCKETS for
-        # selective predicates.
-        self.pred_partitioned = pred_partitioned and checkpoint_dir is not None
+        # checkpoint_dir; per-round cost is an O(|delta|) append. "auto"
+        # (default) mirrors dict_encode="auto": inputs at/above
+        # ``store_threshold`` rows take the store (the measured ~10M-fact
+        # crossover, BENCH.md §4 — below it the in-memory localCheckpoint
+        # store scans faster than parquet decode; above it the store's
+        # partition pruning wins AND memory residency stops being an
+        # option). ``store_max_files`` bounds file accumulation across long
+        # incremental histories via compaction at batch boundaries.
+        self.pred_partitioned = (
+            pred_partitioned if checkpoint_dir is not None else False
+        )
+        self.store_threshold = store_threshold
+        self.store_max_files = store_max_files
         self._string_ctx = _compile_rules(ruleset)
         self._const_terms = rule_constants(ruleset)
         self._id_ctx_cache: dict[int, _CompiledRules] = {}
@@ -555,15 +567,26 @@ class FixpointEngine:
         if os.path.exists(mpath):
             os.remove(mpath)
 
+    def _resolve_store(self, n_rows: Optional[int]) -> bool:
+        """Resolve pred_partitioned="auto" by input size (the measured ~10M
+        crossover, BENCH.md §4), mirroring dict_encode="auto"."""
+        if self.pred_partitioned == "auto":
+            return n_rows is not None and n_rows >= self.store_threshold
+        return bool(self.pred_partitioned)
+
     def materialize(self, asserted: DataFrame) -> FixpointResult:
         """Run to least fixpoint (processTriples, RuleEngine.scala:50-65)."""
         self._clear_stale_checkpoint()
         asserted = asserted.select(*TRIPLE_COLS)
         use_ids = self.dict_encode
-        if use_ids == "auto":
+        n_in: Optional[int] = None
+        if use_ids == "auto" or self.pred_partitioned == "auto":
             # one count pass (cheap for parquet/checkpointed inputs) decides
-            # whether the dictionary's fixed jobs amortize
-            use_ids = asserted.count() >= self.dict_threshold
+            # whether the dictionary's / bucketed store's fixed jobs amortize
+            n_in = asserted.count()
+        if use_ids == "auto":
+            use_ids = n_in >= self.dict_threshold
+        use_store = self._resolve_store(n_in)
         if not use_ids:
             self._write_meta(ids=False)
             facts = asserted.distinct().localCheckpoint(eager=True)
@@ -571,7 +594,7 @@ class FixpointEngine:
             # self-contained outside foreachBatch at zero extra cost
             return self._run(
                 facts, facts, round0=0, prior_metrics=[], derivations=None,
-                ctx=self._string_ctx,
+                ctx=self._string_ctx, use_store=use_store,
             )
         salt, term_dict = build_term_dict(self.spark, asserted, self._const_terms)
         ctx = self._ctx_for_salt(salt)
@@ -579,7 +602,7 @@ class FixpointEngine:
         facts_ids = encode_ids(asserted, salt).distinct().localCheckpoint(eager=True)
         raw = self._run(
             facts_ids, facts_ids, round0=0, prior_metrics=[], derivations=None,
-            ctx=ctx,
+            ctx=ctx, use_store=use_store,
         )
         return self._wrap_ids(raw, term_dict, salt)
 
@@ -596,6 +619,7 @@ class FixpointEngine:
             asserted_ids=raw.asserted,
             term_dict=term_dict,
             salt=salt,
+            facts_store=raw.facts_store,
         )
 
     def _anti_small(
@@ -667,8 +691,31 @@ class FixpointEngine:
             .localCheckpoint(eager=True)
         )
         d = obs_d.get["n"]
-        facts = prev_facts.unionByName(delta).localCheckpoint(eager=True)
         base = prev.facts_count + d
+        use_store = self._resolve_store(base)
+        if use_store and self.checkpoint_dir:
+            # compaction happens HERE — after the seed delta is materialized
+            # (nothing lazily references the old files any more) and before
+            # any relation for this batch is built over the store, so every
+            # store-backed plan this run scans sees only post-compaction
+            # files. Old FixpointResults' relations are invalidated by
+            # design (same as any non-snapshot table format); the count
+            # check guards against compacting a store that is not prev.facts.
+            sd = os.path.join(self.checkpoint_dir, "facts_by_p")
+            prev_round = prev.metrics[-1].round if prev.metrics else 0
+            if (
+                os.path.isdir(sd)
+                and self._store_nfiles(sd) > self.store_max_files
+                and self._store_read(sd, prev_round).count() == prev.facts_count
+            ):
+                self._store_compact(sd)
+                prev_facts = self._store_read(sd, prev_round).select(*spo)
+        facts_u = prev_facts.unionByName(delta)
+        # store mode replaces `facts` with the store read inside _run (the
+        # union is only the rebuild fallback), so the O(|facts|) per-batch
+        # re-checkpoint is pure waste there; both inputs are already
+        # checkpointed, keeping lineage bounded either way
+        facts = facts_u if use_store else facts_u.localCheckpoint(eager=True)
         # continue round numbering after the previous run so a shared
         # checkpoint_dir accumulates a consistent delta sequence (no
         # overwrites) and the seed delta itself is persisted for resume()
@@ -689,6 +736,7 @@ class FixpointEngine:
             delta0=delta,
             facts_old0=prev_facts,
             ctx=ctx,
+            use_store=use_store,
         )
         if id_mode:
             return self._wrap_ids(raw, term_dict, salt)
@@ -743,12 +791,16 @@ class FixpointEngine:
             for r in rounds
         ]
         facts = reduce(DataFrame.unionByName, deltas).localCheckpoint(eager=True)
+        n_facts: Optional[int] = (
+            facts.count()
+            if id_mode or self.pred_partitioned == "auto"
+            else None
+        )
         if id_mode:
             # decode coverage gate: every resumed id must be in the rebuilt
             # dictionary, else decode_ids' inner joins would SILENTLY drop
             # facts (e.g. resuming with the original asserted set after
             # incremental() batches introduced new terms)
-            n_facts = facts.count()
             n_decodable = decode_ids(facts, term_dict).count()
             if n_decodable != n_facts:
                 raise ValueError(
@@ -801,6 +853,7 @@ class FixpointEngine:
             if len(deltas) > 1
             else _empty_like(facts),
             ctx=ctx,
+            use_store=self._resolve_store(n_facts),
         )
         if id_mode:
             return self._wrap_ids(raw, term_dict, salt)
@@ -822,6 +875,31 @@ class FixpointEngine:
             .mode("append")
             .parquet(store_dir)
         )
+
+    def _store_nfiles(self, store_dir: str) -> int:
+        n = 0
+        for _, _, files in os.walk(store_dir):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    def _store_compact(self, store_dir: str) -> None:
+        """Rewrite the store's accumulated per-round appends into ~one file
+        per bucket (long incremental histories otherwise grow file counts
+        without bound — VERDICT r3 next-round #6). ``__rnd`` values are
+        preserved as a data column, so snapshot-at-round reads still hold;
+        per-file __rnd min/max stats widen, which only weakens file skipping
+        for OLD-round reads (resume rebuilds the store anyway). Write to a
+        sibling dir then swap, so a crash mid-compact leaves a valid store."""
+        tmp = store_dir + ".compact"
+        (
+            self.spark.read.parquet(store_dir)
+            .repartition(PB_BUCKETS, F.col("__pb"))
+            .write.partitionBy("__pb")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        shutil.rmtree(store_dir)
+        os.rename(tmp, store_dir)
 
     def _store_read(self, store_dir: str, rnd: int) -> DataFrame:
         """Snapshot-at-round read: the __rnd <= rnd filter (file-skipped via
@@ -863,7 +941,9 @@ class FixpointEngine:
                 .parquet(store_dir)
             )
         elif delta0 is not None:
-            # verified store: only the seed delta appends
+            # verified store: only the seed delta appends (compaction happens
+            # at the incremental() batch boundary, where the caller can swap
+            # its store-backed relations to the compacted files)
             self._store_append(delta0, store_dir, round0)
         return self._store_read(store_dir, round0)
 
@@ -890,13 +970,16 @@ class FixpointEngine:
         ctx: _CompiledRules,
         delta0: Optional[DataFrame] = None,
         facts_old0: Optional[DataFrame] = None,
+        use_store: Optional[bool] = None,
     ) -> FixpointResult:
         spark = self.spark
         spo = list(TRIPLE_COLS)
         delta = delta0 if delta0 is not None else facts
         facts_old = facts_old0 if facts_old0 is not None else _empty_like(facts)
         store_dir = None
-        if self.pred_partitioned:
+        if use_store is None:
+            use_store = self.pred_partitioned is True
+        if use_store:
             store_dir = os.path.join(self.checkpoint_dir, "facts_by_p")
             # incremental append path: prior_metrics[-1] is the seed round's
             # metrics, so the pre-append store must hold exactly
@@ -1136,6 +1219,7 @@ class FixpointEngine:
             rounds=rnd - round0,
             metrics=metrics,
             derivations=derivations,
+            facts_store=facts if store_dir else None,
         )
 
     def _compile_variant(

@@ -77,24 +77,99 @@ class Reasoner:
     its caches on ontology change the same way,
     ref ArachneOWLReasoner.scala:28-39)."""
 
-    def __init__(self, facts: DataFrame):
+    def __init__(
+        self,
+        facts: DataFrame,
+        *,
+        facts_store: Optional[DataFrame] = None,
+        term_dict: Optional[DataFrame] = None,
+        salt: int = 0,
+    ):
         self.facts = facts
+        # pred_partitioned runs: the raw bucketed store (with __pb), in the
+        # run's representation — const-predicate facade scans then prune to
+        # the predicate's bucket files (VERDICT r3 next-round #10)
+        self._store = facts_store
+        self._term_dict = term_dict
+        self._salt = salt
         self._sco_edges_df: Optional[DataFrame] = None
         self._sco_clo_df: Optional[DataFrame] = None
         self._cone_cache: dict[tuple[str, bool], DataFrame] = {}
+
+    @classmethod
+    def from_result(cls, res) -> "Reasoner":
+        """Facade over a FixpointResult, store-aware: when the result came
+        from a ``pred_partitioned`` run, const-predicate queries (closure/
+        cone scans included) read the bucketed store and prune to the
+        predicate's __pb partition instead of scanning all facts."""
+        return cls(
+            res.facts,
+            facts_store=res.facts_store,
+            term_dict=res.term_dict,
+            salt=res.salt,
+        )
 
     def invalidate(self, facts: Optional[DataFrame] = None) -> "Reasoner":
         """Drop memoized closure/cone structures, optionally swapping in a
         new facts snapshot (e.g. an incremental() result). Returns self."""
         if facts is not None:
             self.facts = facts
+            self._store = None
         self._sco_edges_df = None
         self._sco_clo_df = None
         self._cone_cache = {}
         return self
 
     # -- helpers -----------------------------------------------------------
+    def _term_key(self, t: str):
+        """The store-representation key for an encoded term: a foldable
+        xxhash64 literal in id mode (constant-folds, so the __pb comparison
+        prunes partitions at planning time), the string itself otherwise."""
+        from arachne_spark.dictionary import term_id_col
+
+        if self._term_dict is not None:
+            return term_id_col(F.lit(t), self._salt)
+        return F.lit(t)
+
+    def _po_store(self, p: str, o: Optional[str]) -> DataFrame:
+        """Const-predicate selection over the bucketed store: filter to the
+        predicate's __pb bucket (partition pruning — 1/PB_BUCKETS of the
+        files) + the predicate key, then decode back to encoded strings."""
+        from arachne_spark.engine import PB_BUCKETS, _pb_of_const
+
+        pk = self._term_key(p)
+        bucket = (
+            F.pmod(pk, F.lit(PB_BUCKETS))
+            if self._term_dict is not None
+            else _pb_of_const(p)
+        )
+        sel = self._store.filter(
+            (F.col("__pb") == bucket) & (F.col("p") == pk)
+        )
+        if o is not None:
+            sel = sel.filter(F.col("o") == self._term_key(o))
+        if self._term_dict is None:
+            return sel.select(*TRIPLE_COLS)
+        d = self._term_dict
+        out = sel.join(
+            d.select(F.col("id").alias("s"), F.col("term").alias("__s")), on="s"
+        )
+        if o is None:
+            out = out.join(
+                d.select(F.col("id").alias("o"), F.col("term").alias("__o")),
+                on="o",
+            ).select(
+                F.col("__s").alias("s"), F.lit(p).alias("p"), F.col("__o").alias("o")
+            )
+        else:
+            out = out.select(
+                F.col("__s").alias("s"), F.lit(p).alias("p"), F.lit(o).alias("o")
+            )
+        return out
+
     def _po(self, p: str, o: Optional[str] = None) -> DataFrame:
+        if self._store is not None:
+            return self._po_store(p, o)
         df = self.facts.filter(F.col("p") == p)
         if o is not None:
             df = df.filter(F.col("o") == o)
@@ -121,7 +196,7 @@ class Reasoner:
     def types(self, ind: str, direct: bool = False) -> DataFrame:
         i = encode_resource(ind)
         t = (
-            self.facts.filter((F.col("s") == i) & (F.col("p") == _TYPE))
+            self._po(_TYPE).filter(F.col("s") == i)
             .filter(F.col("o").startswith("<"))  # FILTER(isIRI(?o)) (:254)
             .filter(F.col("o") != _NAMED)  # FILTER(?o != owl:NamedIndividual)
             .select(F.col("o").alias("cls"))
@@ -129,7 +204,7 @@ class Reasoner:
         )
         if direct:
             ind_types = (
-                self.facts.filter((F.col("s") == i) & (F.col("p") == _IND))
+                self._po(_IND).filter(F.col("s") == i)
                 .select(F.col("o").alias("cls"))
             )
             t = t.join(ind_types, on="cls", how="left_anti")
@@ -223,7 +298,7 @@ class Reasoner:
         c = encode_iri(cls)
         if direct:
             return (
-                self.facts.filter((F.col("s") == c) & (F.col("p") == _SCO))
+                self._po(_SCO).filter(F.col("s") == c)
                 .filter(F.col("o").startswith("<"))  # FILTER(isIRI) (:180)
                 .select(F.col("o").alias("cls"))
                 .distinct()
@@ -241,13 +316,13 @@ class Reasoner:
         if inverse:
             # inverse path ^<p>: values are subjects with (?v p ind)
             return (
-                self.facts.filter((F.col("p") == p) & (F.col("o") == i))
+                self._po(p, i)
                 .filter(F.col("s").startswith("<"))  # FILTER(isIRI(?s)) (:113)
                 .select(F.col("s").alias("value"))
                 .distinct()
             )
         return (
-            self.facts.filter((F.col("s") == i) & (F.col("p") == p))
+            self._po(p).filter(F.col("s") == i)
             .filter(F.col("o").startswith("<"))
             .select(F.col("o").alias("value"))
             .distinct()
@@ -257,7 +332,7 @@ class Reasoner:
     def data_property_values(self, ind: str, prop: str) -> DataFrame:
         i, p = encode_resource(ind), encode_iri(prop)
         return (
-            self.facts.filter((F.col("s") == i) & (F.col("p") == p))
+            self._po(p).filter(F.col("s") == i)
             .filter(F.col("o").startswith('"'))  # FILTER(isLiteral(?o))
             .select(F.col("o").alias("value"))
             .distinct()
@@ -269,7 +344,7 @@ class Reasoner:
         spark = self.facts.sparkSession
         selfdf = spark.createDataFrame([(i,)], "ind string")
         sames = (
-            self.facts.filter((F.col("s") == i) & (F.col("p") == _SAME))
+            self._po(_SAME).filter(F.col("s") == i)
             .filter(F.col("o").startswith("<"))  # FILTER(isIRI) (:152)
             .select(F.col("o").alias("ind"))
         )
@@ -279,7 +354,7 @@ class Reasoner:
     def different_individuals(self, ind: str) -> DataFrame:
         i = encode_resource(ind)
         return (
-            self.facts.filter((F.col("s") == i) & (F.col("p") == _DIFF))
+            self._po(_DIFF).filter(F.col("s") == i)
             .filter(F.col("o").startswith("<"))  # FILTER(isIRI) (:67)
             .select(F.col("o").alias("ind"))
             .distinct()
@@ -293,11 +368,7 @@ class Reasoner:
     def is_entailed(self, s: str, p: str, o: str) -> bool:
         """Exact encoded triple present? (ASK)"""
         return not (
-            self.facts.filter(
-                (F.col("s") == s) & (F.col("p") == p) & (F.col("o") == o)
-            )
-            .limit(1)
-            .isEmpty()
+            self._po(p, o).filter(F.col("s") == s).limit(1).isEmpty()
         )
 
     def all_entailed(self, axioms: DataFrame) -> bool:

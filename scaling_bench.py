@@ -110,17 +110,33 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
     # and MUCH cheaper than block-manager localCheckpoint of fat string rows
     # in separate-executor mode (r2 measured block-store writes ~5x the
     # equivalent recompute).
-    abox_store = os.environ.get("SPARK_GRAFT_ABOX_STORE", "memory")
+    # r4 defaults (VERDICT r3 next-round #1/#4): the extract->link->canon
+    # stage is ONE fused lazy plan (staging="none" — no mentions block write;
+    # pure-Catalyst extraction left nothing to cut), staged ONCE to parquet
+    # (the realistic cluster shape: candidate-triple table on distributed
+    # storage, columnar + compressed; block-manager localCheckpoint of fat
+    # string rows measured ~5x the recompute AND cannot hold 16M files on
+    # the 1x4 leg). Both knobs remain env-overridable for A/B.
+    abox_store = os.environ.get("SPARK_GRAFT_ABOX_STORE", "parquet")
+    staging = os.environ.get("SPARK_GRAFT_MENTION_STAGING", "none")
+    triples = build_triples(corpus, edict, dedup=False, staging=staging)
     if abox_store == "parquet":
         import tempfile
 
-        abox_dir = tempfile.mkdtemp(prefix="abox_") + "/triples"
-        build_triples(corpus, edict, dedup=False).write.mode("overwrite").parquet(
-            abox_dir
+        # stage on tmpfs when available: a single local ext4 device caps
+        # write bandwidth at a constant regardless of cores (anti-scaling
+        # artifact of the sandbox), while a real cluster's staging storage
+        # (HDFS/S3/Iceberg) scales with the writer count — RAM-backed tmpfs
+        # is the closest local model of that
+        base = os.environ.get(
+            "SPARK_GRAFT_ABOX_DIR",
+            "/dev/shm" if os.path.isdir("/dev/shm") else None,
         )
+        abox_dir = tempfile.mkdtemp(prefix="abox_", dir=base) + "/triples"
+        triples.write.mode("overwrite").parquet(abox_dir)
         abox = spark.read.parquet(abox_dir)
     else:
-        abox = build_triples(corpus, edict, dedup=False).localCheckpoint(eager=True)
+        abox = triples.localCheckpoint(eager=True)
     n_abox = abox.count()
     t_extract = time.time() - t0
 
@@ -186,6 +202,10 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
         "round_metrics": [m.to_dict() for m in res.metrics],
     }
     spark.stop()
+    if abox_store == "parquet":
+        import shutil
+
+        shutil.rmtree(os.path.dirname(abox_dir), ignore_errors=True)
     return out
 
 

@@ -395,3 +395,59 @@ def test_pred_partitioned_store_id_mode(spark, tmp_path):
     assert rel.count() == res.facts_ids.filter(F.col("p") == pid).count()
     plan = rel._jdf.queryExecution().executedPlan().toString()
     assert "__pb" in plan.split("PartitionFilters")[1].split("]")[0], plan
+
+
+def test_pred_partitioned_auto_selects_by_size(spark, tmp_path):
+    """pred_partitioned='auto' (the new default) mirrors dict_encode='auto':
+    inputs below store_threshold run memory-staged, at/above it the bucketed
+    store is used — with identical results (VERDICT r3 next-round #6)."""
+    import os
+
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(10)]
+    df = triples_df(spark, chain)
+    ck_small = str(tmp_path / "small")
+    small = FixpointEngine(
+        spark, _trans_rules(), checkpoint_dir=ck_small, store_threshold=10**9
+    ).materialize(df)
+    assert not os.path.isdir(os.path.join(ck_small, "facts_by_p"))
+    ck_big = str(tmp_path / "big")
+    big = FixpointEngine(
+        spark, _trans_rules(), checkpoint_dir=ck_big, store_threshold=5
+    ).materialize(df)
+    assert os.path.isdir(os.path.join(ck_big, "facts_by_p"))
+    assert spo_set(small.facts) == spo_set(big.facts)
+    # without a checkpoint_dir, auto can never pick the store
+    none = FixpointEngine(spark, _trans_rules(), store_threshold=5).materialize(df)
+    assert spo_set(none.facts) == spo_set(big.facts)
+
+
+def test_pred_partitioned_store_compaction_bounds_files(spark, tmp_path):
+    """Long incremental histories must not grow the store's file count
+    without bound: when an incremental batch finds more than store_max_files
+    parquet files, the store is compacted to ~one file per bucket before the
+    append — results identical throughout (VERDICT r3 next-round #6)."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(6)]
+    eng = FixpointEngine(
+        spark, _trans_rules(), checkpoint_dir=ckpt,
+        pred_partitioned=True, store_max_files=8,
+    )
+    res = eng.materialize(triples_df(spark, chain))
+    base = FixpointEngine(spark, _trans_rules()).materialize(triples_df(spark, chain))
+    store = os.path.join(ckpt, "facts_by_p")
+    peak = eng._store_nfiles(store)
+    for b in range(12):
+        extra = [(f"<m{b}>", f"<{R}>", f"<n0>")]
+        res = eng.incremental(res, triples_df(spark, extra))
+        base = FixpointEngine(spark, _trans_rules()).incremental(
+            base, triples_df(spark, extra)
+        )
+        peak = max(peak, eng._store_nfiles(store))
+    assert spo_set(res.facts) == spo_set(base.facts)
+    # bound: compaction keeps files at most max_files + one append's worth
+    assert peak <= 8 + 64 + 4, peak
+    # and compaction actually fired at least once (12 appends of >=1 file
+    # each over an 8-file cap cannot fit otherwise)
+    assert eng._store_nfiles(store) < 12 * 2

@@ -208,3 +208,70 @@ def test_reasoner_invalidate_after_incremental(spark):
     r.invalidate(res2.facts)
     subs_after = {row["cls"] for row in r.subclasses("C").collect()}
     assert subs_after == {"<A>", "<B>", "<Z>"}
+
+
+@pytest.mark.parametrize("dict_encode", [True, False])
+def test_facade_over_bucketed_store(spark, tmp_path, dict_encode):
+    """Reasoner.from_result on a pred_partitioned run: every const-predicate
+    facade query reads the bucketed store with a __pb partition filter
+    (partition pruning — VERDICT r3 next-round #10) and returns EXACTLY the
+    plain facade's answers, in both representations."""
+    tbox = [(e("B"), SCO, e("A")), (e("C"), SCO, e("B"))]
+    abox = [
+        (e("i1"), TYPE, e("C")),
+        (e("i2"), TYPE, e("B")),
+        (e("i1"), e("knows"), e("i2")),
+        (e("i1"), e("label"), encode_literal("one")),
+        (e("i1"), SAME, e("i1b")),
+    ]
+    rules = RuleSet(list(owl_rl_core()))
+    eng = FixpointEngine(
+        spark, rules, checkpoint_dir=str(tmp_path / "ck"),
+        pred_partitioned=True, dict_encode=dict_encode,
+    )
+    res = eng.materialize(triples_df(spark, tbox + abox))
+    assert res.facts_store is not None
+    r_store = Reasoner.from_result(res)
+    r_plain = Reasoner(res.facts)
+    assert r_store._store is not None
+
+    def col_set(df, col):
+        return {r[col] for r in df.collect()}
+
+    # answers identical across every const-predicate surface
+    assert col_set(r_store.instances(EX + "A"), "s") == col_set(
+        r_plain.instances(EX + "A"), "s"
+    )
+    assert col_set(r_store.subclasses(EX + "A"), "cls") == col_set(
+        r_plain.subclasses(EX + "A"), "cls"
+    ) == {e("B"), e("C")}
+    assert col_set(r_store.superclasses(EX + "C"), "cls") == {e("A"), e("B")}
+    assert col_set(r_store.types(EX + "i1"), "cls") == col_set(
+        r_plain.types(EX + "i1"), "cls"
+    )
+    inv_store = col_set(
+        r_store.object_property_values(EX + "i2", EX + "knows", inverse=True),
+        "value",
+    )
+    inv_plain = col_set(
+        r_plain.object_property_values(EX + "i2", EX + "knows", inverse=True),
+        "value",
+    )
+    assert inv_store == inv_plain and e("i1") in inv_store
+    assert col_set(
+        r_store.data_property_values(EX + "i1", EX + "label"), "value"
+    ) == {encode_literal("one")}
+    assert col_set(r_store.same_individuals(EX + "i1"), "ind") == col_set(
+        r_plain.same_individuals(EX + "i1"), "ind"
+    )
+    assert r_store.is_consistent() == r_plain.is_consistent() is True
+    assert r_store.is_entailed(e("i1"), TYPE, e("A")) is True
+    assert r_store.is_entailed(e("i1"), TYPE, e("Zz")) is False
+
+    # plan-level: the cone-scan edge relation carries a __pb partition filter
+    plan = (
+        r_store._po(SCO)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "__pb" in pf, plan

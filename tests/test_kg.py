@@ -251,3 +251,39 @@ def test_extract_expr_no_python_stage(spark):
         .toString()
     )
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_build_triples_fused_matches_checkpoint(spark):
+    """The fused lazy plan (staging='none', one explode emitting both triple
+    kinds, no mentions materialization — VERDICT r3 next-round #1) is
+    MULTISET-identical to the checkpointed two-branch baseline."""
+    from collections import Counter
+
+    from arachne_spark.kg import gen_code_files, gen_entity_dict
+    from arachne_spark.kg.pipeline import build_triples
+
+    corpus = gen_code_files(spark, 300)
+    edict = gen_entity_dict(spark)
+    fused = Counter(
+        tuple(r) for r in build_triples(corpus, edict, dedup=False).collect()
+    )
+    staged = Counter(
+        tuple(r)
+        for r in build_triples(
+            corpus, edict, dedup=False, staging="checkpoint"
+        ).collect()
+    )
+    assert fused == staged
+    assert sum(fused.values()) > 500
+    # the fused default really is boundary-free for CORPUS-SCALE relations:
+    # the only LogicalRDDs (materialized scans) allowed in the plan are the
+    # tiny driver-built tables (entity dict, canon components) — never the
+    # mentions table
+    plan = (
+        build_triples(corpus, edict, dedup=False)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    rdd_lines = [l for l in plan.splitlines() if "LogicalRDD" in l]
+    assert not any("mention" in l or "content" in l for l in rdd_lines), plan
