@@ -287,6 +287,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         inst = Reasoner(facts).instances("seg:BUILDING")
         return inst.select(_dec_id(F.col("s")).alias("c_custkey"))
 
+    def q1_instances_store(spark, sf_dir):
+        """Q1 over a pred_partitioned run via Reasoner.from_result: the
+        facade's const-predicate scans read the bucketed store with __pb
+        partition pruning (facade.py _po_store; VERDICT r3 next-round #10).
+        Customers typed by segment + (seg:BUILDING subClassOf seg:ANY)
+        through OWL-RL; instances('seg:ANY') over the STORE must equal the
+        plain SQL answer."""
+        import tempfile
+
+        from arachne_spark.model import RDF_TYPE, RDFS_SUBCLASSOF, encode_iri
+        from arachne_spark.owlrl import owl_rl_core
+        from arachne_spark.rules import RuleSet
+
+        customer = _t(spark, sf_dir, "customer")
+        types = customer.select(
+            _enc_id("c", F.col("c_custkey")).alias("s"),
+            F.lit(encode_iri(RDF_TYPE)).alias("p"),
+            F.concat(F.lit("<seg:"), F.col("c_mktsegment"), F.lit(">")).alias("o"),
+        )
+        sco = spark.createDataFrame(
+            [("<seg:BUILDING>", encode_iri(RDFS_SUBCLASSOF), "<seg:ANY>")],
+            "s string, p string, o string",
+        )
+        with tempfile.TemporaryDirectory() as td:
+            res = FixpointEngine(
+                spark,
+                RuleSet(list(owl_rl_core())),
+                dict_encode=True,
+                checkpoint_dir=td,
+                pred_partitioned=True,
+            ).materialize(types.unionByName(sco))
+            assert res.facts_store is not None
+            rows = (
+                Reasoner.from_result(res)
+                .instances("seg:ANY")
+                .select(_dec_id(F.col("s")).alias("c_custkey"))
+                .localCheckpoint(eager=True)  # pin before the tempdir vanishes
+            )
+        return rows
+
     def q4_property_path(spark, sf_dir):
         """Q4/Q5: property-path closure via iterative doubling."""
         clo = transitive_closure(_tree_edges(spark, sf_dir))
@@ -652,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r6_cross_product": r6_cross_product,
         "r11_fact_dedup": r11_fact_dedup,
         "q1_instances": q1_instances,
+        "q1_instances_store": q1_instances_store,
         "q4_property_path": q4_property_path,
         "q3_types": q3_types,
         "q5_anchored_ancestors": q5_anchored_ancestors,
@@ -780,6 +821,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 1"
         ),
         "q1_instances": (
+            "SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+        ),
+        "q1_instances_store": (
             "SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
         ),
         "q4_property_path": tc + " SELECT src FROM clo WHERE dst = 1",

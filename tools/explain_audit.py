@@ -233,6 +233,30 @@ def main() -> int:
             )
         )
 
+        # 7. facade over the bucketed store (VERDICT r3 next-round #10): a
+        # Reasoner.from_result const-predicate query carries the same __pb
+        # partition filter — cone scans never read the whole store
+        from arachne_spark.facade import Reasoner
+        from arachne_spark.model import RDFS_SUBCLASSOF, encode_iri
+
+        r = Reasoner.from_result(res)
+        fp = plan_of(r._po(encode_iri(RDFS_SUBCLASSOF)))
+        if verbose:
+            print(fp)
+        fpf = (
+            fp.split("PartitionFilters")[1].split("]")[0]
+            if "PartitionFilters" in fp
+            else ""
+        )
+        results.append(
+            check(
+                "facade over bucketed store: query plan prunes on __pb",
+                fpf,
+                ["__pb"],
+                [],
+            )
+        )
+
     n_bad = results.count(False)
     print(f"\n{len(results) - n_bad}/{len(results)} plan checks passed")
     spark.stop()
