@@ -725,11 +725,18 @@ class FixpointEngine:
         # asserted stays a SET: drop re-asserted triples before the union
         # (facts/inferred_only were already safe; this keeps the exported
         # asserted relation duplicate-free, matching materialize())
+        asserted_next = prev_asserted.unionByName(
+            self._anti_small(new_enc, prev_asserted, n_new, spo)
+        )
+        # bound the asserted plan's depth across long incremental histories:
+        # each batch wraps another union + anti, so every facts_refresh
+        # batches the chain is collapsed into one checkpoint (same cadence
+        # as the facts-union refresh in the round loop)
+        if len(prev.metrics) % max(1, self.facts_refresh) == 0:
+            asserted_next = asserted_next.localCheckpoint(eager=True)
         raw = self._run(
             facts,
-            prev_asserted.unionByName(
-                self._anti_small(new_enc, prev_asserted, n_new, spo)
-            ),
+            asserted_next,
             round0=round0,
             prior_metrics=list(prev.metrics) + [m0],
             derivations=prev.derivations,

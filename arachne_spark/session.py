@@ -56,6 +56,16 @@ def build_session(
     exec_mem = os.environ.get("SPARK_GRAFT_EXECUTOR_MEM")
     if exec_mem:
         b = b.config("spark.executor.memory", exec_mem)
+    # Shuffle/spill files default to /tmp — on this sandbox a SINGLE shared
+    # virtual disk whose bandwidth does not grow with executor count (an
+    # anti-scaling artifact the steal counter cannot see). On a real cluster
+    # every executor has its own local SSD, so per-executor shuffle bandwidth
+    # scales with the cluster. SPARK_GRAFT_LOCAL_DIR (e.g. /dev/shm/...)
+    # restores that property locally; unset keeps Spark's default.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
