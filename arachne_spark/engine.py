@@ -589,9 +589,17 @@ class FixpointEngine:
         use_store = self._resolve_store(n_in)
         if not use_ids:
             self._write_meta(ids=False)
-            facts = asserted.distinct().localCheckpoint(eager=True)
-            # the result's `asserted` is the checkpointed distinct —
-            # self-contained outside foreachBatch at zero extra cost
+            # store mode: leave the distinct LAZY — _store_init executes it
+            # straight into the partitioned parquet write and _run rebinds
+            # facts/delta/asserted to the store read, so the input is
+            # materialized exactly once (no duplicate block-manager
+            # checkpoint of the full fact set — the r2-measured ~5x-cost
+            # write)
+            facts = asserted.distinct()
+            if not use_store:
+                # the result's `asserted` is the checkpointed distinct —
+                # self-contained outside foreachBatch at zero extra cost
+                facts = facts.localCheckpoint(eager=True)
             return self._run(
                 facts, facts, round0=0, prior_metrics=[], derivations=None,
                 ctx=self._string_ctx, use_store=use_store,
@@ -599,7 +607,9 @@ class FixpointEngine:
         salt, term_dict = build_term_dict(self.spark, asserted, self._const_terms)
         ctx = self._ctx_for_salt(salt)
         self._write_meta(ids=True, salt=salt)
-        facts_ids = encode_ids(asserted, salt).distinct().localCheckpoint(eager=True)
+        facts_ids = encode_ids(asserted, salt).distinct()
+        if not use_store:
+            facts_ids = facts_ids.localCheckpoint(eager=True)
         raw = self._run(
             facts_ids, facts_ids, round0=0, prior_metrics=[], derivations=None,
             ctx=ctx, use_store=use_store,
@@ -621,6 +631,48 @@ class FixpointEngine:
             salt=salt,
             facts_store=raw.facts_store,
         )
+
+    # derived sets with at most this many distinct predicates prune the
+    # dedup join's facts side to the matching predicate slice; the probe is
+    # one bounded job (distinct + limit over the checkpointed derived set)
+    DEDUP_PRED_CAP = 1024
+    # partition-prune the bucketed store only for small predicate sets — a
+    # longer OR-chain over __pb stops paying for its planning cost because
+    # most of the 64 buckets are touched anyway
+    DEDUP_PB_CAP = 64
+
+    def _dedup_facts_side(
+        self, facts: DataFrame, dd: DataFrame, spo: list
+    ) -> DataFrame:
+        """The facts relation pruned for the round's fact-dedup join.
+
+        A derived triple can only equal an existing fact sharing its
+        predicate, so the facts side needs only rows whose ``p`` occurs in
+        the derived set ``dd`` — usually a handful of rule-head predicates
+        even when heads carry predicate VARIABLES (owl:inverseOf-style rules
+        make the set data-dependent, which is why this probes ``dd`` at
+        runtime instead of analyzing rule heads statically). On the
+        predicate-bucketed store the same set prunes to the matching ``__pb``
+        partition files, turning the late-round O(|facts|) dedup scan into
+        O(|facts_p∈heads|). Unbounded-vocabulary safety: the probe is
+        ``limit``-capped; past the cap the full relation is used unchanged.
+        """
+        preds = [
+            r["p"]
+            for r in dd.select("p")
+            .distinct()
+            .limit(self.DEDUP_PRED_CAP + 1)
+            .collect()
+        ]
+        if not preds or len(preds) > self.DEDUP_PRED_CAP:
+            return facts.select(*spo) if "__pb" in facts.columns else facts
+        cond = F.col("p").isin(preds)
+        if "__pb" in facts.columns and len(preds) <= self.DEDUP_PB_CAP:
+            cond = cond & reduce(
+                lambda a, b: a | b,
+                [F.col("__pb") == _pb_of_const(p) for p in preds],
+            )
+        return facts.filter(cond).select(*spo)
 
     def _anti_small(
         self, small: DataFrame, big: DataFrame, n_small: int, spo: list
@@ -721,7 +773,8 @@ class FixpointEngine:
         # overwrites) and the seed delta itself is persisted for resume()
         round0 = prev.metrics[-1].round + 1 if prev.metrics else 1
         m0 = RoundMetrics(round0, 0, d, base, 0.0, 0, 0, [])
-        self._write_round(round0, delta, m0)
+        # the seed round is committed inside _run (commit_seed=True), after
+        # the store append it depends on in store mode
         # asserted stays a SET: drop re-asserted triples before the union
         # (facts/inferred_only were already safe; this keeps the exported
         # asserted relation duplicate-free, matching materialize())
@@ -744,6 +797,7 @@ class FixpointEngine:
             facts_old0=prev_facts,
             ctx=ctx,
             use_store=use_store,
+            commit_seed=True,
         )
         if id_mode:
             return self._wrap_ids(raw, term_dict, salt)
@@ -762,6 +816,21 @@ class FixpointEngine:
             for d in os.listdir(self.checkpoint_dir)
             if d.startswith("round=")
         )
+        sd = os.path.join(self.checkpoint_dir, "facts_by_p")
+        mpath = os.path.join(self.checkpoint_dir, "metrics.jsonl")
+        store_resume = False
+        if not rounds and os.path.isdir(sd) and os.path.exists(mpath):
+            # store-mode checkpoint: per-round deltas live ONLY in the
+            # bucketed store under their ``__rnd`` stamps (no duplicate
+            # ``round=`` writes); metrics.jsonl is the committed-round log,
+            # and each line was written strictly AFTER its store append, so
+            # every logged round is fully present — a torn append from the
+            # crash round carries a later __rnd and is filtered out below
+            with open(mpath, encoding="utf-8") as f:
+                rounds = sorted(
+                    {json.loads(line)["round"] for line in f if line.strip()}
+                )
+            store_resume = bool(rounds)
         if not rounds:
             return self.materialize(asserted)
         asserted = asserted.select(*TRIPLE_COLS)
@@ -792,12 +861,48 @@ class FixpointEngine:
         else:
             ctx = self._string_ctx
             asserted_run = asserted
-        deltas = [
-            self.spark.read.parquet(os.path.join(self.checkpoint_dir, f"round={r:04d}"))
-            .select(*TRIPLE_COLS)
-            for r in rounds
-        ]
-        facts = reduce(DataFrame.unionByName, deltas).localCheckpoint(eager=True)
+        if store_resume:
+            # reconstruct from the store's __rnd stamps. All three relations
+            # are EAGERLY checkpointed here because the (possibly torn) store
+            # is rebuilt below. A store rebuilt mid-history stamps everything
+            # at its rebuild round, so ``__rnd == last`` can over-approximate
+            # the true last delta — semi-naive stays correct with a larger
+            # delta (worst case it replays round-0 semantics), it never
+            # under-derives.
+            last = rounds[-1]
+            sdf = self.spark.read.parquet(sd)
+            facts = (
+                sdf.filter(F.col("__rnd") <= last)
+                .select(*TRIPLE_COLS)
+                .localCheckpoint(eager=True)
+            )
+            delta_last = (
+                sdf.filter(F.col("__rnd") == last)
+                .select(*TRIPLE_COLS)
+                .localCheckpoint(eager=True)
+            )
+            facts_old = (
+                sdf.filter(F.col("__rnd") < last)
+                .select(*TRIPLE_COLS)
+                .localCheckpoint(eager=True)
+                if len(rounds) > 1
+                else _empty_like(facts)
+            )
+        else:
+            deltas = [
+                self.spark.read.parquet(
+                    os.path.join(self.checkpoint_dir, f"round={r:04d}")
+                )
+                .select(*TRIPLE_COLS)
+                for r in rounds
+            ]
+            facts = reduce(DataFrame.unionByName, deltas).localCheckpoint(eager=True)
+            delta_last = deltas[-1].localCheckpoint(eager=True)
+            facts_old = (
+                reduce(DataFrame.unionByName, deltas[:-1]).localCheckpoint(eager=True)
+                if len(deltas) > 1
+                else _empty_like(facts)
+            )
         n_facts: Optional[int] = (
             facts.count()
             if id_mode or self.pred_partitioned == "auto"
@@ -817,15 +922,17 @@ class FixpointEngine:
                     "the checkpoint was built from"
                 )
         metrics = []
-        mpath = os.path.join(self.checkpoint_dir, "metrics.jsonl")
         if os.path.exists(mpath):
             with open(mpath, encoding="utf-8") as f:
                 metrics = [RoundMetrics(**json.loads(line)) for line in f if line.strip()]
-            metrics = [m for m in metrics if m.round <= rounds[-1]]
-        if self.pred_partitioned:
+            # last line per round wins (a resumed run may have re-logged
+            # rounds it replayed), ordered by round
+            by_round = {m.round: m for m in metrics if m.round <= rounds[-1]}
+            metrics = [by_round[r] for r in sorted(by_round)]
+        if self.pred_partitioned or store_resume:
             # the crashed run's facts_by_p store may hold a torn append from
             # the round that died — rebuild it from the reconstructed facts
-            sd = os.path.join(self.checkpoint_dir, "facts_by_p")
+            # (safe: the relations above are eagerly checkpointed)
             if os.path.isdir(sd):
                 shutil.rmtree(sd)
         # reload persisted derivation records (R12/R14 continuity): a
@@ -848,17 +955,14 @@ class FixpointEngine:
                         for d in deriv_dirs
                     ],
                 ).localCheckpoint(eager=True)
-        delta = deltas[-1]
         raw = self._run(
             facts,
             asserted_run,
             round0=rounds[-1],
             prior_metrics=metrics,
             derivations=derivations,
-            delta0=delta.localCheckpoint(eager=True),
-            facts_old0=reduce(DataFrame.unionByName, deltas[:-1]).localCheckpoint(eager=True)
-            if len(deltas) > 1
-            else _empty_like(facts),
+            delta0=delta_last,
+            facts_old0=facts_old,
             ctx=ctx,
             use_store=self._resolve_store(n_facts),
         )
@@ -954,13 +1058,22 @@ class FixpointEngine:
             self._store_append(delta0, store_dir, round0)
         return self._store_read(store_dir, round0)
 
-    def _write_round(self, rnd: int, delta: DataFrame, m: RoundMetrics) -> None:
+    def _write_round(
+        self, rnd: int, delta: DataFrame, m: RoundMetrics, delta_to_disk: bool = True
+    ) -> None:
+        """Commit one round: the delta parquet (resume's replay unit) and
+        the metrics line. In store mode the bucketed store — appended BEFORE
+        this commit — already holds the delta under its ``__rnd`` stamp, so
+        ``delta_to_disk=False`` skips the duplicate write (half the per-round
+        write volume at scale); resume() then replays rounds from
+        metrics.jsonl + ``__rnd`` filters instead of ``round=`` dirs."""
         if not self.checkpoint_dir:
             return
         os.makedirs(self.checkpoint_dir, exist_ok=True)
-        delta.write.mode("overwrite").parquet(
-            os.path.join(self.checkpoint_dir, f"round={rnd:04d}")
-        )
+        if delta_to_disk:
+            delta.write.mode("overwrite").parquet(
+                os.path.join(self.checkpoint_dir, f"round={rnd:04d}")
+            )
         with open(
             os.path.join(self.checkpoint_dir, "metrics.jsonl"), "a", encoding="utf-8"
         ) as f:
@@ -978,6 +1091,7 @@ class FixpointEngine:
         delta0: Optional[DataFrame] = None,
         facts_old0: Optional[DataFrame] = None,
         use_store: Optional[bool] = None,
+        commit_seed: bool = False,
     ) -> FixpointResult:
         spark = self.spark
         spo = list(TRIPLE_COLS)
@@ -996,8 +1110,23 @@ class FixpointEngine:
                 if delta0 is not None and prior_metrics
                 else None
             )
+            facts_in = facts
             facts = self._store_init(
                 facts, store_dir, round0, delta0, expect_rows=expect
+            )
+            if delta0 is None:
+                # fresh run: the store write just materialized the (possibly
+                # lazy) input exactly once — rebind the round-0 delta, and
+                # the asserted relation when it was the same input object,
+                # to the store read instead of re-executing the input plan
+                delta = facts
+                if asserted is facts_in:
+                    asserted = facts.select(*spo)
+        if commit_seed and prior_metrics:
+            # incremental seed-round commit, AFTER the store init/append so a
+            # metrics line never claims a round the store doesn't hold yet
+            self._write_round(
+                round0, delta, prior_metrics[-1], delta_to_disk=not use_store
             )
         # one aggregation job per delta yields total count, per-predicate counts
         # (variant skipping) and per-partition lineage (metrics) together
@@ -1010,7 +1139,9 @@ class FixpointEngine:
         if round0 == 0 and not prior_metrics:
             m0 = RoundMetrics(0, 0, delta_total, facts_count, 0.0, 0, 0, delta_lineage)
             prior_metrics = [m0]
-            self._write_round(0, delta, m0)
+            # store mode: _store_init already wrote the round-0 facts under
+            # __rnd=0 — skip the duplicate round= write
+            self._write_round(0, delta, m0, delta_to_disk=not use_store)
         metrics = list(prior_metrics)
         if self.store_derivations and derivations is None:
             spo_fields = [
@@ -1135,17 +1266,24 @@ class FixpointEngine:
                 if n_dd == 0:
                     # fixpoint reached: skip the anti-join jobs entirely
                     new_delta = dd
-                elif n_dd <= self.broadcast_rows:
-                    seen = facts.join(
-                        F.broadcast(dd), on=spo, how="left_semi"
-                    ).localCheckpoint(eager=True)
-                    new_delta = dd.join(
-                        F.broadcast(seen), on=spo, how="left_anti"
-                    ).localCheckpoint(eager=True)
                 else:
-                    new_delta = dd.join(facts, on=spo, how="left_anti").localCheckpoint(
-                        eager=True
-                    )
+                    # a facts row can only collide with dd on an (s,p,o) key
+                    # if its predicate occurs in dd, so the facts side of the
+                    # dedup join scans/shuffles ONLY the dd-predicate slice
+                    # (bucket-file-pruned in store mode) — see
+                    # _dedup_facts_side
+                    facts_side = self._dedup_facts_side(facts, dd, spo)
+                    if n_dd <= self.broadcast_rows:
+                        seen = facts_side.join(
+                            F.broadcast(dd), on=spo, how="left_semi"
+                        ).localCheckpoint(eager=True)
+                        new_delta = dd.join(
+                            F.broadcast(seen), on=spo, how="left_anti"
+                        ).localCheckpoint(eager=True)
+                    else:
+                        new_delta = dd.join(
+                            facts_side, on=spo, how="left_anti"
+                        ).localCheckpoint(eager=True)
             else:
                 new_delta = _empty_like(facts).localCheckpoint(eager=True)
             new_preds, delta_out, lineage = self._delta_stats(new_delta, ctx)
@@ -1185,8 +1323,13 @@ class FixpointEngine:
                 variants_skipped=variants_skipped,
                 partition_lineage=lineage,
             )
+            if store_dir and delta_out > 0:
+                # append BEFORE the metrics line commits the round: a crash
+                # between the two leaves an orphan __rnd partition that
+                # resume's __rnd <= last-complete-round filters exclude
+                self._store_append(new_delta, store_dir, rnd, n_rows=delta_out)
             metrics.append(m)
-            self._write_round(rnd, new_delta, m)
+            self._write_round(rnd, new_delta, m, delta_to_disk=store_dir is None)
 
             if delta_out == 0:
                 break
@@ -1199,9 +1342,9 @@ class FixpointEngine:
 
             facts_old = facts
             if store_dir:
-                # O(|delta|) partitioned append; the re-read is a fresh
-                # parquet relation, so no LogicalRDD aliasing with the delta
-                self._store_append(new_delta, store_dir, rnd, n_rows=delta_out)
+                # the delta was appended above (O(|delta|), partitioned); the
+                # re-read is a fresh parquet relation, so no LogicalRDD
+                # aliasing with the delta
                 facts = self._store_read(store_dir, rnd)
             else:
                 # The delta must not appear as the SAME LogicalRDD both

@@ -173,10 +173,25 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
         spark.createDataFrame(tbox, "s string, p string, o string")
     )
 
-    # stage 4: fixpoint
+    # stage 4: fixpoint. A checkpoint_dir on tmpfs turns on the
+    # predicate-bucketed facts store (pred_partitioned="auto" crosses over
+    # at 10M facts): per-round alpha scans and the fact-dedup join then
+    # prune to __pb bucket files instead of scanning the full in-memory
+    # facts union — the located small-delta round floor. "off" reverts to
+    # the memory-staged union for A/B.
+    fixpoint_store = os.environ.get("SPARK_GRAFT_FIXPOINT_STORE", "auto")
+    ckpt_dir = None
+    if fixpoint_store != "off":
+        import tempfile
+
+        ckpt_base = os.environ.get(
+            "SPARK_GRAFT_ABOX_DIR",
+            "/dev/shm" if os.path.isdir("/dev/shm") else None,
+        )
+        ckpt_dir = tempfile.mkdtemp(prefix="fixpoint_", dir=ckpt_base)
     t0 = time.time()
     rules = RuleSet(list(owl_rl_core()) + [indirect_type_rule()])
-    res = FixpointEngine(spark, rules).materialize(asserted)
+    res = FixpointEngine(spark, rules, checkpoint_dir=ckpt_dir).materialize(asserted)
     t_infer = time.time() - t0
     facts = res.facts
 
@@ -202,10 +217,12 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
         "round_metrics": [m.to_dict() for m in res.metrics],
     }
     spark.stop()
-    if abox_store == "parquet":
-        import shutil
+    import shutil
 
+    if abox_store == "parquet":
         shutil.rmtree(os.path.dirname(abox_dir), ignore_errors=True)
+    if ckpt_dir:
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     return out
 
 

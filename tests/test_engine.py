@@ -451,3 +451,90 @@ def test_pred_partitioned_store_compaction_bounds_files(spark, tmp_path):
     # and compaction actually fired at least once (12 appends of >=1 file
     # each over an 8-file cap cannot fit otherwise)
     assert eng._store_nfiles(store) < 12 * 2
+
+
+def test_store_mode_single_write_and_crash_resume(spark, tmp_path):
+    """Store-mode runs persist each round ONCE (the __rnd-stamped store
+    append; no duplicate round= delta dirs), metrics.jsonl is the committed-
+    round log, and resume() replays from the store — including from a run
+    stopped mid-fixpoint (round-budget 'crash')."""
+    import os
+
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(12)]
+    expect = spo_set(
+        FixpointEngine(spark, _trans_rules()).materialize(triples_df(spark, chain)).facts
+    )
+    ckpt = str(tmp_path / "ckpt")
+    eng = FixpointEngine(
+        spark, _trans_rules(), checkpoint_dir=ckpt,
+        pred_partitioned=True, max_rounds=1,
+    )
+    eng.materialize(triples_df(spark, chain))  # stops after round 1
+    # single-write contract: no round= dirs, store + metrics only
+    assert not [d for d in os.listdir(ckpt) if d.startswith("round=")]
+    assert os.path.isdir(os.path.join(ckpt, "facts_by_p"))
+    res = FixpointEngine(
+        spark, _trans_rules(), checkpoint_dir=ckpt, pred_partitioned=True
+    ).resume(triples_df(spark, chain))
+    assert spo_set(res.facts) == expect
+    # the resumed run continued (round >= 2), not restarted
+    assert res.metrics[-1].round >= 2
+
+
+def test_dedup_facts_side_prunes_to_dd_predicates(spark, tmp_path):
+    """The fact-dedup join's facts side scans only the derived set's
+    predicate slice: row filter (p IN dd-preds) always, plus __pb partition
+    pruning on the bucketed store; past DEDUP_PRED_CAP distinct predicates
+    it falls back to the full relation."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(5)]
+    other = [(f"<n{i}>", "<http://ex/lbl>", f'"L{i}"') for i in range(5)]
+    eng = FixpointEngine(
+        spark, _trans_rules(), checkpoint_dir=ckpt, pred_partitioned=True
+    )
+    res = eng.materialize(triples_df(spark, chain + other))
+    store = eng._store_read(os.path.join(ckpt, "facts_by_p"), res.metrics[-1].round)
+    dd = triples_df(spark, [("<a>", f"<{R}>", "<b>")])
+    side = eng._dedup_facts_side(store, dd, ["s", "p", "o"])
+    assert side.columns == ["s", "p", "o"]
+    # only the <R> slice survives — the <lbl> facts are pruned out
+    assert side.count() == res.facts.filter(F.col("p") == f"<{R}>").count()
+    plan = side._jdf.queryExecution().executedPlan().toString()
+    assert "__pb" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    # past the predicate cap: unpruned (but still slimmed to s,p,o)
+    eng.DEDUP_PRED_CAP = 1
+    wide_dd = triples_df(
+        spark, [("<a>", f"<p{i}>", "<b>") for i in range(3)]
+    )
+    full = eng._dedup_facts_side(store, wide_dd, ["s", "p", "o"])
+    assert full.count() == store.count()
+
+
+def test_var_head_predicate_correct_with_store(spark, tmp_path):
+    """Rules whose HEAD predicate is a variable (owl:inverseOf shape) make
+    the derivable predicate set data-dependent — the dynamic dedup pruning
+    must stay exact there, in both store and memory modes."""
+    INV = "http://ex/inv"
+    rules = load_rules_json(
+        [{"name": "inv",
+          "body": [["?p", INV, "?q"], ["?x", "?p", "?y"]],
+          "head": [["?y", "?q", "?x"]]}]
+    )
+    data = [
+        (f"<{R}>", f"<{INV}>", "<http://ex/rinv>"),
+        ("<a>", f"<{R}>", "<b>"),
+        ("<c>", f"<{R}>", "<d>"),
+        # pre-existing fact equal to a derived one: dedup must catch it
+        ("<b>", "<http://ex/rinv>", "<a>"),
+    ]
+    expect = naive_fixpoint(data, rules)
+    mem = FixpointEngine(spark, rules).materialize(triples_df(spark, data))
+    assert spo_set(mem.facts) == expect
+    st = FixpointEngine(
+        spark, rules, checkpoint_dir=str(tmp_path / "ck"), pred_partitioned=True
+    ).materialize(triples_df(spark, data))
+    assert spo_set(st.facts) == expect
+    # the derived-but-already-known fact must not re-enter the delta
+    assert st.metrics[-1].delta_out == 0
