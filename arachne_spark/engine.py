@@ -636,6 +636,10 @@ class FixpointEngine:
     # dedup join's facts side to the matching predicate slice; the probe is
     # one bounded job (distinct + limit over the checkpointed derived set)
     DEDUP_PRED_CAP = 1024
+    # below this many accumulated facts the probe job costs more than the
+    # unpruned scan it would save (store mode always prunes: file skipping
+    # pays regardless)
+    dedup_prune_rows = 2_000_000
     # partition-prune the bucketed store only for small predicate sets — a
     # longer OR-chain over __pb stops paying for its planning cost because
     # most of the 64 buckets are touched anyway
@@ -1271,8 +1275,13 @@ class FixpointEngine:
                     # if its predicate occurs in dd, so the facts side of the
                     # dedup join scans/shuffles ONLY the dd-predicate slice
                     # (bucket-file-pruned in store mode) — see
-                    # _dedup_facts_side
-                    facts_side = self._dedup_facts_side(facts, dd, spo)
+                    # _dedup_facts_side. The probe job only pays for itself
+                    # when the facts relation is large (or file-prunable):
+                    # small fixpoints skip it and scan facts whole.
+                    if store_dir or facts_count >= self.dedup_prune_rows:
+                        facts_side = self._dedup_facts_side(facts, dd, spo)
+                    else:
+                        facts_side = facts
                     if n_dd <= self.broadcast_rows:
                         seen = facts_side.join(
                             F.broadcast(dd), on=spo, how="left_semi"
