@@ -33,6 +33,11 @@ Scale design (the reason this exists):
   a variant whose delta-position atom has a constant predicate absent from
   the delta is skipped without launching a job, and a whole rule is skipped
   when any constant-predicate body atom has zero facts overall.
+- the per-round fact-dedup join scans only the facts slice whose predicate
+  occurs in the round's derived set (a bounded runtime probe; bucket-file-
+  pruned on the store) — a derived triple can only collide with a fact that
+  shares its predicate, so the late-round dedup cost is O(|derivable-pred
+  facts|), not O(|facts|).
 - alpha sharing (C2/O4): atom relations are memoized per (relation, blanked-
   pattern signature) within a round, so rules sharing a selection share the
   plan subtree.
