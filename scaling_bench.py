@@ -45,6 +45,45 @@ def _steal_jiffies() -> int:
         return int(f.readline().split()[8])
 
 
+_REV_CACHE: list[str] = []
+
+
+def _config_stamp(abox_store: str, staging: str, fixpoint_store: str, mult: int) -> str:
+    """One short string identifying the code+config epoch of a run.
+
+    The git rev is read once per process, so both legs of an invocation
+    carry the same stamp even if a commit lands between them.
+    """
+    if _REV_CACHE:
+        return _REV_CACHE[0].format(
+            abox=abox_store, staging=staging, store=fixpoint_store, mult=mult
+        )
+    try:
+        import subprocess
+
+        rev = (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=10,
+            ).stdout.strip()
+            or "nogit"
+        )
+    except Exception:
+        rev = "nogit"
+    tmpl = (
+        rev + ";abox={abox};staging={staging};store={store};mult={mult};"
+        f"exec={os.environ.get('SPARK_GRAFT_EXEC_CORES', '4')}x"
+        f"{os.environ.get('SPARK_GRAFT_EXEC_MEM_MB', '6144')}"
+    )
+    _REV_CACHE.append(tmpl)
+    return tmpl.format(
+        abox=abox_store, staging=staging, store=fixpoint_store, mult=mult
+    )
+
+
 def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cores)
     steal0 = _steal_jiffies()
@@ -214,6 +253,10 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
         "triples_per_sec": round(res.facts_count / wall, 1),
         "infer_triples_per_sec": round(res.facts_count / t_infer, 1),
         "steal_sec": round((_steal_jiffies() - steal0) / 100.0, 1),
+        # config epoch stamp: tools/pair_report.py only pairs N/4N legs whose
+        # stamps match, so efficiency claims never mix code versions or
+        # staging configs (the r3 16M confound, mechanically prevented)
+        "config": _config_stamp(abox_store, staging, fixpoint_store, mult),
         "round_metrics": [m.to_dict() for m in res.metrics],
     }
     spark.stop()
