@@ -175,6 +175,10 @@ class RoundMetrics:
     rules_skipped: int
     variants_skipped: int
     partition_lineage: list[int] = field(default_factory=list)
+    # wall seconds per round phase (derive/dedup/stats/commit jobs) — the
+    # fine-grained S7 stage-timing channel; keys are stable names so
+    # harnesses can aggregate the per-round driver floor across runs
+    phases: dict = field(default_factory=dict)
 
     def to_dict(self) -> dict:
         return dict(self.__dict__)
@@ -1193,6 +1197,17 @@ class FixpointEngine:
         while rnd < round0 + self.max_rounds:
             rnd += 1
             t0 = time.time()
+            ph: dict = {}
+            _t = t0
+
+            def _mark(name: str) -> None:
+                # cumulative wall per phase (a phase can run more than once
+                # per round, e.g. dedup_semi under the derivations path)
+                nonlocal _t
+                now = time.time()
+                ph[name] = round(ph.get(name, 0.0) + (now - _t), 4)
+                _t = now
+
             delta_in = delta_total
 
             cache: dict = {}
@@ -1251,6 +1266,7 @@ class FixpointEngine:
                 if not rule_fired:
                     rules_skipped += 1
 
+            _mark("compile")
             if derived_parts:
                 derived = reduce(DataFrame.unionByName, derived_parts)
                 # Dedup new heads, then subtract known facts. The derived set
@@ -1272,6 +1288,7 @@ class FixpointEngine:
                     .localCheckpoint(eager=True)
                 )
                 n_dd = obs.get["n"]
+                _mark("derive_distinct")
                 if n_dd == 0:
                     # fixpoint reached: skip the anti-join jobs entirely
                     new_delta = dd
@@ -1287,20 +1304,25 @@ class FixpointEngine:
                         facts_side = self._dedup_facts_side(facts, dd, spo)
                     else:
                         facts_side = facts
+                    _mark("dedup_probe")
                     if n_dd <= self.broadcast_rows:
                         seen = facts_side.join(
                             F.broadcast(dd), on=spo, how="left_semi"
                         ).localCheckpoint(eager=True)
+                        _mark("dedup_semi")
                         new_delta = dd.join(
                             F.broadcast(seen), on=spo, how="left_anti"
                         ).localCheckpoint(eager=True)
+                        _mark("dedup_anti")
                     else:
                         new_delta = dd.join(
                             facts_side, on=spo, how="left_anti"
                         ).localCheckpoint(eager=True)
+                        _mark("dedup_anti")
             else:
                 new_delta = _empty_like(facts).localCheckpoint(eager=True)
             new_preds, delta_out, lineage = self._delta_stats(new_delta, ctx)
+            _mark("stats")
 
             if self.store_derivations and delta_out > 0 and derived_meta_parts:
                 meta = reduce(DataFrame.unionByName, derived_meta_parts)
@@ -1325,8 +1347,15 @@ class FixpointEngine:
                 derivations = derivations.unionByName(round_derivs).localCheckpoint(
                     eager=True
                 )
+                _mark("derivations")
 
             facts_count += delta_out
+            if store_dir and delta_out > 0:
+                # append BEFORE the metrics line commits the round: a crash
+                # between the two leaves an orphan __rnd partition that
+                # resume's __rnd <= last-complete-round filters exclude
+                self._store_append(new_delta, store_dir, rnd, n_rows=delta_out)
+                _mark("store_append")
             m = RoundMetrics(
                 round=rnd,
                 delta_in=delta_in,
@@ -1336,12 +1365,8 @@ class FixpointEngine:
                 rules_skipped=rules_skipped,
                 variants_skipped=variants_skipped,
                 partition_lineage=lineage,
+                phases=ph,
             )
-            if store_dir and delta_out > 0:
-                # append BEFORE the metrics line commits the round: a crash
-                # between the two leaves an orphan __rnd partition that
-                # resume's __rnd <= last-complete-round filters exclude
-                self._store_append(new_delta, store_dir, rnd, n_rows=delta_out)
             metrics.append(m)
             self._write_round(rnd, new_delta, m, delta_to_disk=store_dir is None)
 
