@@ -13,8 +13,11 @@ jobs varying 28s..77s); each run records the /proc/stat steal delta and
 best-of-N per level is reported (median shown too).
 
 Correctness gates before throughput is recorded:
-- facts count AND an order-insensitive checksum (sum of xxhash64 over s||p||o)
-  must be identical across levels and repetitions;
+- facts count AND an order-insensitive checksum must be identical across
+  levels and repetitions. Dictionary-encoded runs hash the long-id facts
+  plus the dictionary itself (identical dict + identical id-facts implies
+  identical string facts, with no decode joins); string-mode runs hash
+  xxhash64 over s||p||o directly;
 - the per-query oracle gate (tools/check_contract.py) is the P/R evidence at
   sf0.01 — run separately.
 
@@ -234,9 +237,33 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
     t_infer = time.time() - t0
     facts = res.facts
 
-    checksum = facts.select(
-        F.sum(F.pmod(F.xxhash64(F.concat_ws("", "s", "p", "o")), F.lit(2147483647))).alias("c")
-    ).collect()[0]["c"]
+    # Correctness checksum, id-space when the run is dictionary-encoded:
+    # hashing the STRING facts forces the lazy 3-join decode of the whole
+    # facts store (measured ~100 s at 16c on 80M facts — a bench-harness
+    # verification cost that was ~30% of wall, barely scaled with cores, and
+    # poisoned the efficiency ratio). Hash (a) the long-id facts (one
+    # numeric scan) and (b) the dictionary itself (one scan): identical dict
+    # + identical id-facts implies identical string facts — strictly
+    # stronger than the string hash, with zero joins. String fallback when
+    # encoding is off; t_checksum keeps verification cost visible and out of
+    # the throughput claim.
+    t0 = time.time()
+    P = F.lit(2147483647)
+    if res.facts_ids is not None:
+        checksum = res.facts_ids.select(
+            F.sum(F.pmod(F.xxhash64("s", "p", "o"), P)).alias("c")
+        ).collect()[0]["c"]
+        dict_checksum = int(
+            res.term_dict.select(
+                F.sum(F.pmod(F.xxhash64("id", "term"), P)).alias("c")
+            ).collect()[0]["c"]
+        )
+    else:
+        checksum = facts.select(
+            F.sum(F.pmod(F.xxhash64(F.concat_ws("", "s", "p", "o")), P)).alias("c")
+        ).collect()[0]["c"]
+        dict_checksum = 0
+    t_checksum = time.time() - t0
     wall = time.time() - t_all
     out = {
         "cores": cores,
@@ -247,8 +274,10 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
         "facts": res.facts_count,
         "rounds": res.rounds,
         "checksum": int(checksum),
+        "dict_checksum": dict_checksum,
         "t_extract_link_canon": round(t_extract, 2),
         "t_infer": round(t_infer, 2),
+        "t_checksum": round(t_checksum, 2),
         "wall": round(wall, 2),
         "triples_per_sec": round(res.facts_count / wall, 1),
         "infer_triples_per_sec": round(res.facts_count / t_infer, 1),
@@ -299,8 +328,9 @@ def orchestrate(levels: list[int], reps: int, n_files: int, mode: str = "local")
                 f"tps={rec['triples_per_sec']} facts={rec['facts']}"
             )
 
-    # correctness gate: identical facts + checksum everywhere
-    counts = {(r["facts"], r["checksum"]) for r in runs}
+    # correctness gate: identical facts + checksum (and dictionary
+    # checksum, id-space protocol) everywhere
+    counts = {(r["facts"], r["checksum"], r.get("dict_checksum", 0)) for r in runs}
     assert len(counts) == 1, f"results differ across runs/levels: {counts}"
 
     best = {
