@@ -77,13 +77,30 @@ def main() -> int:
         hi_runs = [r for r in size_runs if r["cores"] == args.hi_cores]
         if not lo_runs or not hi_runs:
             continue
-        # correctness gate first: every run at this size must agree
-        sigs = {(r["facts"], r.get("checksum")) for r in lo_runs + hi_runs}
-        if len(sigs) != 1:
-            print(f"n_files={n_files}: CHECKSUM GATE FAILED: {sigs}", file=sys.stderr)
+        # correctness gate first: every run at this size must agree —
+        # within its checksum scheme. Legacy rows hash decoded strings;
+        # id-protocol rows (marked by dict_checksum) hash long-id facts +
+        # the dictionary, so the two schemes yield different (but each
+        # internally deterministic) values for the same result set.
+        gate_ok = True
+        for scheme in {"dict_checksum" in r for r in size_runs}:
+            sigs = {
+                (r["facts"], r.get("checksum"), r.get("dict_checksum"))
+                for r in lo_runs + hi_runs
+                if ("dict_checksum" in r) == scheme
+            }
+            if len(sigs) > 1:
+                print(
+                    f"n_files={n_files}: CHECKSUM GATE FAILED "
+                    f"(scheme={'id' if scheme else 'string'}): {sigs}",
+                    file=sys.stderr,
+                )
+                gate_ok = False
+        if not gate_ok:
             gate_failed = True
             continue
-        facts, checksum = next(iter(sigs))
+        facts = size_runs[0]["facts"]
+        checksum = size_runs[-1].get("checksum")
         if args.cross:
             cand = list(itertools.product(lo_runs, hi_runs))
         else:
