@@ -102,6 +102,15 @@ def test_metrics_and_monotone_rounds(spark):
     totals = [m.facts_total for m in res.metrics]
     assert totals == sorted(totals)
     assert res.facts_count == res.facts.count()
+    # S7 fine-grained stage timing: every executed round attributes its wall
+    # to named phases, and those phases account for most of the round
+    for m in res.metrics:
+        if m.round == 0:
+            continue
+        assert {"compile", "derive_distinct", "stats"} <= set(m.phases)
+        assert all(v >= 0 for v in m.phases.values())
+        assert sum(m.phases.values()) <= m.seconds + 0.05
+        assert "phases" in m.to_dict()
 
 
 def test_store_derivations_and_explain(spark):
