@@ -655,28 +655,37 @@ class FixpointEngine:
     DEDUP_PB_CAP = 64
 
     def _dedup_facts_side(
-        self, facts: DataFrame, dd: DataFrame, spo: list
+        self,
+        facts: DataFrame,
+        dd: DataFrame,
+        spo: list,
+        static_preds: Optional[set] = None,
     ) -> DataFrame:
         """The facts relation pruned for the round's fact-dedup join.
 
         A derived triple can only equal an existing fact sharing its
         predicate, so the facts side needs only rows whose ``p`` occurs in
-        the derived set ``dd`` — usually a handful of rule-head predicates
-        even when heads carry predicate VARIABLES (owl:inverseOf-style rules
-        make the set data-dependent, which is why this probes ``dd`` at
-        runtime instead of analyzing rule heads statically). On the
-        predicate-bucketed store the same set prunes to the matching ``__pb``
-        partition files, turning the late-round O(|facts|) dedup scan into
-        O(|facts_p∈heads|). Unbounded-vocabulary safety: the probe is
-        ``limit``-capped; past the cap the full relation is used unchanged.
+        the derived set ``dd``. When every fired head atom this round has a
+        CONSTANT predicate the driver already knows a superset of dd's
+        predicates from the rule heads alone (``static_preds``) and no probe
+        job runs — the common OWL-RL case. Heads with predicate VARIABLES
+        (owl:inverseOf-style rules) make the set data-dependent, so those
+        rounds probe ``dd`` at runtime. On the predicate-bucketed store the
+        same set prunes to the matching ``__pb`` partition files, turning
+        the late-round O(|facts|) dedup scan into O(|facts_p∈heads|).
+        Unbounded-vocabulary safety: the probe is ``limit``-capped; past the
+        cap the full relation is used unchanged.
         """
-        preds = [
-            r["p"]
-            for r in dd.select("p")
-            .distinct()
-            .limit(self.DEDUP_PRED_CAP + 1)
-            .collect()
-        ]
+        if static_preds is not None:
+            preds = list(static_preds)
+        else:
+            preds = [
+                r["p"]
+                for r in dd.select("p")
+                .distinct()
+                .limit(self.DEDUP_PRED_CAP + 1)
+                .collect()
+            ]
         if not preds or len(preds) > self.DEDUP_PRED_CAP:
             return facts.select(*spo) if "__pb" in facts.columns else facts
         cond = F.col("p").isin(preds)
@@ -1215,6 +1224,10 @@ class FixpointEngine:
             derived_meta_parts: list[DataFrame] = []
             rules_skipped = 0
             variants_skipped = 0
+            # driver-known superset of the round's derived predicates (from
+            # fired CONST-predicate heads); None once any var-predicate head
+            # fires — _dedup_facts_side then probes dd at runtime instead
+            head_preds: Optional[set] = set()
             for rule in ctx.rules:
                 keys = self._rule_keys(rule)
                 # whole-rule skip: an alpha memory (const p / const (p,o) atom)
@@ -1250,6 +1263,13 @@ class FixpointEngine:
                     heads = apply_head(bound, rule.head)
                     derived_parts.append(heads)
                     rule_fired = True
+                    if head_preds is not None:
+                        for ha in rule.head:
+                            if _is_const(ha[1]):
+                                head_preds.add(ha[1])
+                            else:
+                                head_preds = None
+                                break
                     if self.store_derivations:
                         derived_meta_parts.append(
                             apply_head(
@@ -1301,7 +1321,9 @@ class FixpointEngine:
                     # when the facts relation is large (or file-prunable):
                     # small fixpoints skip it and scan facts whole.
                     if store_dir or facts_count >= self.dedup_prune_rows:
-                        facts_side = self._dedup_facts_side(facts, dd, spo)
+                        facts_side = self._dedup_facts_side(
+                            facts, dd, spo, static_preds=head_preds
+                        )
                     else:
                         facts_side = facts
                     _mark("dedup_probe")
