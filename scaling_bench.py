@@ -89,6 +89,14 @@ def _config_stamp(abox_store: str, staging: str, fixpoint_store: str, mult: int)
 
 def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+    # resolve the config/rev stamp BEFORE the run: a commit landing while a
+    # leg executes must not split one invocation's legs into two epochs
+    # (pair_report pairs legs only on exact stamp match)
+    abox_store_0 = os.environ.get("SPARK_GRAFT_ABOX_STORE", "parquet")
+    staging_0 = os.environ.get("SPARK_GRAFT_MENTION_STAGING", "none")
+    fixpoint_store_0 = os.environ.get("SPARK_GRAFT_FIXPOINT_STORE", "auto")
+    mult_0 = int(os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "2"))
+    stamp = _config_stamp(abox_store_0, staging_0, fixpoint_store_0, mult_0)
     steal0 = _steal_jiffies()
     from pyspark.sql import functions as F
 
