@@ -583,16 +583,32 @@ class FixpointEngine:
             return n_rows is not None and n_rows >= self.store_threshold
         return bool(self.pred_partitioned)
 
-    def materialize(self, asserted: DataFrame) -> FixpointResult:
-        """Run to least fixpoint (processTriples, RuleEngine.scala:50-65)."""
+    def materialize(
+        self, asserted: DataFrame, *, row_hint: Optional[int] = None
+    ) -> FixpointResult:
+        """Run to least fixpoint (processTriples, RuleEngine.scala:50-65).
+
+        ``row_hint``: approximate input row count, when the caller already
+        knows it (e.g. just counted a staged table) — skips the auto-mode
+        sizing scan. Only feeds threshold decisions, never correctness.
+        """
         self._clear_stale_checkpoint()
+        self._setup_ph = {}
+        _t = [time.time()]
+
+        def _mark0(name: str) -> None:
+            now = time.time()
+            self._setup_ph[name] = round(now - _t[0], 4)
+            _t[0] = now
+
         asserted = asserted.select(*TRIPLE_COLS)
         use_ids = self.dict_encode
-        n_in: Optional[int] = None
-        if use_ids == "auto" or self.pred_partitioned == "auto":
+        n_in: Optional[int] = row_hint
+        if n_in is None and (use_ids == "auto" or self.pred_partitioned == "auto"):
             # one count pass (cheap for parquet/checkpointed inputs) decides
             # whether the dictionary's / bucketed store's fixed jobs amortize
             n_in = asserted.count()
+            _mark0("input_count")
         if use_ids == "auto":
             use_ids = n_in >= self.dict_threshold
         use_store = self._resolve_store(n_in)
@@ -609,16 +625,19 @@ class FixpointEngine:
                 # the result's `asserted` is the checkpointed distinct —
                 # self-contained outside foreachBatch at zero extra cost
                 facts = facts.localCheckpoint(eager=True)
+                _mark0("stage0_distinct")
             return self._run(
                 facts, facts, round0=0, prior_metrics=[], derivations=None,
                 ctx=self._string_ctx, use_store=use_store,
             )
         salt, term_dict = build_term_dict(self.spark, asserted, self._const_terms)
+        _mark0("dict_build")
         ctx = self._ctx_for_salt(salt)
         self._write_meta(ids=True, salt=salt)
         facts_ids = encode_ids(asserted, salt).distinct()
         if not use_store:
             facts_ids = facts_ids.localCheckpoint(eager=True)
+            _mark0("encode")
         raw = self._run(
             facts_ids, facts_ids, round0=0, prior_metrics=[], derivations=None,
             ctx=ctx, use_store=use_store,
@@ -1133,9 +1152,13 @@ class FixpointEngine:
                 else None
             )
             facts_in = facts
+            _t0 = time.time()
             facts = self._store_init(
                 facts, store_dir, round0, delta0, expect_rows=expect
             )
+            ph0 = getattr(self, "_setup_ph", None)
+            if ph0 is not None:
+                ph0["store_init"] = round(time.time() - _t0, 4)
             if delta0 is None:
                 # fresh run: the store write just materialized the (possibly
                 # lazy) input exactly once — rebind the round-0 delta, and
@@ -1152,14 +1175,24 @@ class FixpointEngine:
             )
         # one aggregation job per delta yields total count, per-predicate counts
         # (variant skipping) and per-partition lineage (metrics) together
+        _t0 = time.time()
         delta_preds, delta_total, delta_lineage = self._delta_stats(delta, ctx)
+        ph0 = getattr(self, "_setup_ph", None)
+        if ph0 is not None and round0 == 0:
+            ph0["stats0"] = round(time.time() - _t0, 4)
         facts_count = (
             prior_metrics[-1].facts_total
             if prior_metrics
             else (delta_total if round0 == 0 and delta0 is None else facts.count())
         )
         if round0 == 0 and not prior_metrics:
-            m0 = RoundMetrics(0, 0, delta_total, facts_count, 0.0, 0, 0, delta_lineage)
+            # round-0 "phases" carry the pre-loop setup jobs (input sizing,
+            # dictionary build, encode/stage, store init, first stats pass) —
+            # the infer-time-outside-rounds that scaling analysis needs
+            m0 = RoundMetrics(
+                0, 0, delta_total, facts_count, 0.0, 0, 0, delta_lineage,
+                phases=dict(getattr(self, "_setup_ph", None) or {}),
+            )
             prior_metrics = [m0]
             # store mode: _store_init already wrote the round-0 facts under
             # __rnd=0 — skip the duplicate round= write

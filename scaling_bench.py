@@ -241,7 +241,11 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
         ckpt_dir = tempfile.mkdtemp(prefix="fixpoint_", dir=ckpt_base)
     t0 = time.time()
     rules = RuleSet(list(owl_rl_core()) + [indirect_type_rule()])
-    res = FixpointEngine(spark, rules, checkpoint_dir=ckpt_dir).materialize(asserted)
+    # row_hint: the abox was just counted off its parquet staging — skip the
+    # engine's auto-mode sizing scan (one full pass over 2N*16M rows saved)
+    res = FixpointEngine(spark, rules, checkpoint_dir=ckpt_dir).materialize(
+        asserted, row_hint=n_abox + len(tbox)
+    )
     t_infer = time.time() - t0
     facts = res.facts
 
