@@ -76,10 +76,12 @@ def _config_stamp(abox_store: str, staging: str, fixpoint_store: str, mult: int)
         )
     except Exception:
         rev = "nogit"
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "")
+    shm = "tmpfs" if local_dir.startswith("/dev/shm") else ("disk" if not local_dir else "custom")
     tmpl = (
         rev + ";abox={abox};staging={staging};store={store};mult={mult};"
         f"exec={os.environ.get('SPARK_GRAFT_EXEC_CORES', '4')}x"
-        f"{os.environ.get('SPARK_GRAFT_EXEC_MEM_MB', '6144')}"
+        f"{os.environ.get('SPARK_GRAFT_EXEC_MEM_MB', '6144')};shuffle={shm}"
     )
     _REV_CACHE.append(tmpl)
     return tmpl.format(
