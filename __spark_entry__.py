@@ -551,6 +551,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb.unionByName(twin), threshold=0.95, n_planes=4
         )
 
+    def dedup_pairs_expanded(spark, sf_dir):
+        """Representative pairs -> member-level pairs (ADVICE r3 inverse of
+        collapse_exact). The synthetic documents are all-distinct, so exact
+        cliques are planted deterministically: every doc_id % 50 == 0 gets
+        an identical-text twin at doc_id + 100000; the expansion must emit
+        the twin fan-out of every representative pair plus the within-clique
+        pairs themselves."""
+        from arachne_spark.functions.dedup import expand_pairs_to_cliques
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        twins = docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+        corpus = docs.unionByName(twins)
+        return expand_pairs_to_cliques(lsh_candidate_pairs(corpus), corpus)
+
     def dedup_simhash(spark, sf_dir):
         from arachne_spark.functions.dedup import simhash
 
@@ -703,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_minhash_bands": dedup_minhash_bands,
         "dedup_lsh_pairs": dedup_lsh_pairs,
+        "dedup_pairs_expanded": dedup_pairs_expanded,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "knn_bruteforce": knn_bruteforce,
         "ann_ivf_assign": ann_ivf_assign,
@@ -873,6 +890,31 @@ def oracle_sql() -> dict[str, str]:
             "mhk AS (SELECT mh.* FROM mh JOIN k USING (doc_id)) "
             "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM mhk a "
             "JOIN mhk b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id"
+        ),
+        # planted twins (doc_id % 50 == 0 duplicated at +100000) exercise the
+        # representative->member expansion: cross fan-out + within-clique pairs
+        "dedup_pairs_expanded": (
+            "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL "
+            " SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0), "
+            "sh AS (SELECT doc_id, u.sh FROM "
+            " (SELECT doc_id, string_split(text, ' ') AS l FROM corpus), "
+            " UNNEST(list_transform(range(1, greatest(len(l) - 1, 1)), "
+            "  i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS u(sh)), "
+            "mh AS (SELECT doc_id, b.band, min(md5(b.band || ':' || sh)) AS minhash "
+            " FROM sh, (VALUES (0),(1),(2),(3)) AS b(band) GROUP BY doc_id, b.band), "
+            "k AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY sha256(text)), "
+            "mhk AS (SELECT mh.* FROM mh JOIN k USING (doc_id)), "
+            "reps AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM mhk a "
+            " JOIN mhk b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id), "
+            "member AS (SELECT doc_id AS m, min(doc_id) OVER "
+            " (PARTITION BY sha256(text)) AS keeper FROM corpus), "
+            "cross_p AS (SELECT DISTINCT least(ma.m, mb.m) AS id_a, "
+            " greatest(ma.m, mb.m) AS id_b FROM reps "
+            " JOIN member ma ON ma.keeper = reps.id_a "
+            " JOIN member mb ON mb.keeper = reps.id_b), "
+            "within_p AS (SELECT a.m AS id_a, b.m AS id_b FROM member a "
+            " JOIN member b ON a.keeper = b.keeper AND a.m < b.m) "
+            "SELECT id_a, id_b FROM cross_p UNION ALL SELECT id_a, id_b FROM within_p"
         ),
         "dedup_ngram_jaccard": (
             f"WITH {_SHINGLE_CTE.lstrip()}, "

@@ -1,5 +1,6 @@
 from arachne_spark.functions.dedup import (
     exact_dup_groups,
+    expand_pairs_to_cliques,
     minhash_bands,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
@@ -22,6 +23,7 @@ from arachne_spark.functions.text import (
 
 __all__ = [
     "exact_dup_groups",
+    "expand_pairs_to_cliques",
     "minhash_bands",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",

@@ -21,7 +21,7 @@ from __future__ import annotations
 import logging
 from typing import Optional
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 log = logging.getLogger(__name__)
@@ -277,6 +277,84 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def expand_pairs_to_cliques(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    include_within: bool = True,
+    within_fill: Optional[dict] = None,
+) -> DataFrame:
+    """Expand representative near-dup pairs back to member-level pairs
+    (ADVICE r3: collapse_exact=True makes lsh_candidate_pairs /
+    simhash_neardup_pairs name exact-clique REPRESENTATIVES only; this is
+    the inverse for consumers that need every member pair).
+
+    - cross-clique: each (rep_a, rep_b) pair fans out to all member
+      combinations of the two exact cliques; extra columns on ``pairs``
+      (jaccard, hamming, ...) are carried through unchanged — identical
+      texts have identical signatures, so the representative's score IS
+      every member's score.
+    - within-clique (``include_within``, default True): members of the same
+      exact clique are duplicates by definition (identical text), emitted
+      for every clique with >= 2 members. Extra columns are filled from
+      ``within_fill`` (e.g. {"jaccard": 1.0} or {"hamming": 0}); unfilled
+      extras are NULL.
+
+    Output: (id_a, id_b, *extras), id_a < id_b, distinct. SCALE WARNING —
+    this is the one operator in this module whose output is inherently
+    quadratic in clique sizes (sum |A|*|B| + sum n(n-1)/2); the
+    representative form is the 100 TB shape, expansion is for bounded
+    cliques (the hot-bucket story in MAX_BUCKET's comment applies: a
+    1M-member clique means ~5*10^11 within pairs no engine should emit).
+    Membership reuses an upstream ``text_sha256`` column when present,
+    like _collapse_exact."""
+    sha = (
+        F.col("text_sha256")
+        if "text_sha256" in docs.columns
+        else F.sha2(F.col(text_col), 256)
+    )
+    w = Window.partitionBy("__sha")
+    member = (
+        docs.select(F.col(id_col).alias("__m"), sha.alias("__sha"))
+        .withColumn("__keeper", F.min("__m").over(w))
+        .select("__m", "__keeper")
+    )
+    extras = [c for c in pairs.columns if c not in ("id_a", "id_b")]
+    ma = member.select(F.col("__m").alias("__ma"), F.col("__keeper").alias("id_a"))
+    mb = member.select(F.col("__m").alias("__mb"), F.col("__keeper").alias("id_b"))
+    cross = (
+        pairs.join(ma, on="id_a")
+        .join(mb, on="id_b")
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            *extras,
+        )
+    )
+    if not include_within:
+        return cross.distinct()
+    fill = within_fill or {}
+    extra_schema = {f.name: f.dataType for f in pairs.schema.fields}
+    wa = member.select(F.col("__m").alias("id_a"), "__keeper")
+    wb = member.select(F.col("__m").alias("id_b"), "__keeper")
+    within = (
+        wa.join(wb, on="__keeper")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            *[
+                F.lit(fill.get(c)).cast(extra_schema[c]).alias(c)
+                for c in extras
+            ],
+        )
+    )
+    # cliques are disjoint: within pairs (same clique) can never duplicate
+    # cross pairs (two cliques), so distinct runs per branch, not after union
+    return cross.distinct().unionByName(within)
 
 
 def ngram_jaccard_pairs(

@@ -357,6 +357,48 @@ def test_collapse_exact_reuses_upstream_sha(spark):
     assert {r["doc_id"] for r in out.collect()} == {1, 3}
 
 
+def test_expand_pairs_to_cliques(spark):
+    """Representative pairs expand back to every member pair (ADVICE r3):
+    cross-clique pairs fan out with extras carried through, within-clique
+    pairs appear for every clique with >= 2 members with within_fill
+    extras, and ordering/distinctness invariants hold."""
+    from arachne_spark.functions.dedup import expand_pairs_to_cliques
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = t1 + " iota"  # near-dup of t1
+    d = docs_df(
+        spark,
+        [(0, t1), (1, t1), (2, t1), (10, t2), (11, t2), (20, "totally unrelated words here")],
+    )
+    reps = lsh_candidate_pairs(d)
+    assert {(r["id_a"], r["id_b"]) for r in reps.collect()} == {(0, 10)}
+
+    cross_only = expand_pairs_to_cliques(reps, d, include_within=False)
+    assert {(r["id_a"], r["id_b"]) for r in cross_only.collect()} == {
+        (0, 10), (0, 11), (1, 10), (1, 11), (2, 10), (2, 11)
+    }
+    full = expand_pairs_to_cliques(reps, d)
+    assert {(r["id_a"], r["id_b"]) for r in full.collect()} == {
+        (0, 10), (0, 11), (1, 10), (1, 11), (2, 10), (2, 11),
+        (0, 1), (0, 2), (1, 2), (10, 11),
+    }
+    # extras: the representative score applies to every cross member pair;
+    # within pairs get the fill (identical text => jaccard 1.0)
+    scored = ngram_jaccard_pairs(d, reps, threshold=0.0)
+    exp = expand_pairs_to_cliques(scored, d, within_fill={"jaccard": 1.0})
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exp.collect()}
+    rep_j = scored.collect()[0]["jaccard"]
+    assert got[(2, 11)] == rep_j and got[(0, 10)] == rep_j
+    assert got[(0, 1)] == 1.0 and got[(10, 11)] == 1.0
+    # an upstream text_sha256 column is reused, not re-hashed
+    with_sha = d.withColumn("text_sha256", F.sha2(F.col("text"), 256)).localCheckpoint(
+        eager=True
+    )
+    out = expand_pairs_to_cliques(reps, with_sha)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "sha2(" not in plan, plan
+
+
 def test_simhash_neardup_collapses_exact(spark):
     base = "one two three four five six seven eight nine ten eleven twelve"
     rows = [(i, base) for i in range(50)] + [(100, base + " thirteen")]
