@@ -212,11 +212,20 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
             "/dev/shm" if os.path.isdir("/dev/shm") else None,
         )
         abox_dir = tempfile.mkdtemp(prefix="abox_", dir=base) + "/triples"
-        triples.write.mode("overwrite").parquet(abox_dir)
+        # fold the row count into the write job itself (Observation) — the
+        # count-back after the write was one extra full scan of the staged
+        # table per leg
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        triples.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(abox_dir)
+        n_abox = obs.get["n"]
         abox = spark.read.parquet(abox_dir)
     else:
         abox = triples.localCheckpoint(eager=True)
-    n_abox = abox.count()
+        n_abox = abox.count()
     t_extract = time.time() - t0
 
     # TBox: kind hierarchy, extends is transitive, calls ⊑ dependsOn
