@@ -64,6 +64,11 @@ def main() -> int:
         default=0,
         help="only consider the last N rows of the log (0 = all)",
     )
+    ap.add_argument(
+        "--phases",
+        action="store_true",
+        help="print per-phase N->4N efficiencies for each size's rank-1 pair",
+    )
     args = ap.parse_args()
 
     runs = [json.loads(l) for l in open(args.runs, encoding="utf-8") if l.strip()]
@@ -138,9 +143,34 @@ def main() -> int:
                 "eff_e2e": eff(lo, hi, "wall"),
                 "eff_infer": eff(lo, hi, "t_infer"),
                 "eff_extract": eff(lo, hi, "t_extract_link_canon"),
+                "config": [lo.get("config", ""), hi.get("config", "")],
             }
             print("  " + json.dumps(row))
+            if args.phases and rank == 0:
+                print("  " + json.dumps(_phase_eff(lo, hi)))
     return 1 if gate_failed else 0
+
+
+def _phase_eff(lo: dict, hi: dict) -> dict:
+    """Per-phase N->4N efficiencies for one pair, from the round_metrics
+    phase instrumentation: names WHERE the efficiency gap lives (setup
+    phases + per-round derive/dedup) instead of one opaque e2e number."""
+    out: dict = {"phase_eff": {}}
+    mult = hi["cores"] / lo["cores"]
+
+    def phases(r: dict) -> dict:
+        acc: dict = {}
+        for m in r.get("round_metrics", []):
+            tag = "setup" if m["round"] == 0 else f"rnd{m['round']}"
+            for k, v in (m.get("phases") or {}).items():
+                acc[f"{tag}.{k}"] = acc.get(f"{tag}.{k}", 0.0) + v
+        return acc
+
+    pl, ph_ = phases(lo), phases(hi)
+    for k in sorted(set(pl) & set(ph_)):
+        if ph_[k] >= 0.5:  # sub-second phases are scheduler noise
+            out["phase_eff"][k] = round((pl[k] / ph_[k]) / mult, 2)
+    return out
 
 
 if __name__ == "__main__":
