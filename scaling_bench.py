@@ -64,16 +64,17 @@ def _config_stamp(abox_store: str, staging: str, fixpoint_store: str, mult: int)
     try:
         import subprocess
 
-        rev = (
-            subprocess.run(
-                ["git", "rev-parse", "--short", "HEAD"],
-                capture_output=True,
-                text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                timeout=10,
-            ).stdout.strip()
-            or "nogit"
-        )
+        # hash the MEASURED code, not HEAD: the package tree + this file.
+        # A doc/tool-only commit landing between two legs must not split
+        # them into different epochs (pair_report would refuse the pair).
+        hashes = subprocess.run(
+            ["git", "rev-parse", "HEAD:arachne_spark", "HEAD:scaling_bench.py"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        ).stdout.split()
+        rev = ".".join(h[:7] for h in hashes) or "nogit"
     except Exception:
         rev = "nogit"
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "")
