@@ -62,6 +62,67 @@ def _norm(c):
     return F.translate(F.lower(c), "_", "")
 
 
+def link_mentions_single_pass(
+    mentions: DataFrame,
+    entity_dict: DataFrame,
+    min_score: float = 0.5,
+) -> DataFrame:
+    """Same contract as link_mentions, in ONE corpus pass.
+
+    The vocab-scoring path costs a second full scan of the mention stream
+    when the pipeline is a fused lazy plan (the broadcast `best` subtree
+    re-runs extraction to discover the vocabulary) — at 100 TB that second
+    corpus read dwarfs everything else. Here the DICTIONARY side is
+    pre-grouped instead: one dict-scale groupBy packs all candidates of an
+    alias_norm into an array, the broadcast join emits at most ONE row per
+    mention occurrence, and best-candidate selection is a pure array
+    expression (score each candidate in place, array_min over a
+    (-score, iri, ...) struct — deterministic: max score, ties by min IRI).
+    Zero corpus-side shuffles, zero extra passes; the scoring expression
+    runs per occurrence rather than per distinct string, the right trade
+    whenever re-reading the corpus costs more than re-scoring repeats."""
+    cand = (
+        entity_dict.withColumn("alias_norm", _norm(F.col("alias")))
+        .groupBy("alias_norm")
+        .agg(
+            F.collect_list(
+                F.struct("alias", "canonical_iri", "kind", "prior")
+            ).alias("cands")
+        )
+    )
+    j = mentions.join(
+        F.broadcast(cand),
+        _norm(F.col("mention")) == F.col("alias_norm"),
+        "inner",
+    )
+    scored = F.transform(
+        F.col("cands"),
+        lambda c: F.struct(
+            (-link_score_expr(F.col("mention"), c["alias"], c["prior"])).alias(
+                "ns"
+            ),
+            c["canonical_iri"].alias("canonical_iri"),
+            c["kind"].alias("kind"),
+            c["alias"].alias("alias"),
+            c["prior"].alias("prior"),
+        ),
+    )
+    keys = ["repo", "path", "commit", "lang", "content_sha256", "mention", "mention_kind"]
+    best = F.array_min(F.filter(scored, lambda s: -s["ns"] >= min_score))
+    return (
+        j.withColumn("__best", best)
+        .filter(F.col("__best").isNotNull())
+        .select(
+            *keys,
+            F.col("__best.canonical_iri").alias("canonical_iri"),
+            F.col("__best.kind").alias("kind"),
+            F.col("__best.alias").alias("alias"),
+            F.col("__best.prior").alias("prior"),
+            (-F.col("__best.ns")).alias("score"),
+        )
+    )
+
+
 def link_mentions(
     mentions: DataFrame,
     entity_dict: DataFrame,

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from arachne_spark.engine import FixpointEngine, FixpointResult
 from arachne_spark.kg.canon import canonicalize
 from arachne_spark.kg.extract import extract_mentions, linked_to_triples
-from arachne_spark.kg.link import link_mentions
+from arachne_spark.kg.link import link_mentions, link_mentions_single_pass
 from arachne_spark.rules import RuleSet
 
 
@@ -33,6 +33,7 @@ def build_triples(
     min_score: float = 0.5,
     dedup: bool = True,
     staging: str = "none",
+    link: str = "vocab",
 ) -> DataFrame:
     """Extraction + linking + canonicalization -> encoded candidate triples.
 
@@ -58,7 +59,17 @@ def build_triples(
     mentions = extract_mentions(code_files)
     if staging == "checkpoint":
         mentions = mentions.localCheckpoint(eager=True)
-    linked = link_mentions(mentions, entity_dict, min_score=min_score)
+    # ``link``: "vocab" scores the distinct mention vocabulary then
+    # broadcast-joins back (cheapest when mentions are staged/checkpointed —
+    # the second scan is a block read); "single_pass" pre-groups the
+    # broadcast dictionary and picks the best candidate with in-row array
+    # expressions — ONE corpus scan total, the right shape for the fused
+    # staging="none" plan where the vocab branch would re-run extraction
+    # over the whole corpus (differential-tested row-identical).
+    if link == "single_pass":
+        linked = link_mentions_single_pass(mentions, entity_dict, min_score=min_score)
+    else:
+        linked = link_mentions(mentions, entity_dict, min_score=min_score)
     # linked is deliberately NOT persisted: DataFrame.persist() block-manager
     # writes measured ~5x slower than the equivalent recompute in
     # local-cluster (separate executor JVMs) — and on a real cluster a cache

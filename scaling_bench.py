@@ -88,9 +88,11 @@ def _config_stamp(abox_store: str, staging: str, fixpoint_store: str, mult: int)
             f"{os.environ.get('SPARK_GRAFT_EXEC_MEM_MB', '6144')}"
         )
     )
+    link_mode = os.environ.get("SPARK_GRAFT_LINK", "vocab")
     tmpl = (
         rev + ";abox={abox};staging={staging};store={store};mult={mult};"
         f"{exec_part};shuffle={shm}"
+        + (f";link={link_mode}" if link_mode != "vocab" else "")
     )
     _REV_CACHE.append(tmpl)
     return tmpl.format(
@@ -199,7 +201,13 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
     # the 1x4 leg). Both knobs remain env-overridable for A/B.
     abox_store = os.environ.get("SPARK_GRAFT_ABOX_STORE", "parquet")
     staging = os.environ.get("SPARK_GRAFT_MENTION_STAGING", "none")
-    triples = build_triples(corpus, edict, dedup=False, staging=staging)
+    triples = build_triples(
+        corpus,
+        edict,
+        dedup=False,
+        staging=staging,
+        link=os.environ.get("SPARK_GRAFT_LINK", "vocab"),
+    )
     if abox_store == "parquet":
         import tempfile
 

@@ -140,6 +140,36 @@ def test_link_scorer_expr_matches_pandas_udf(spark, edict):
         assert abs(x["score"] - y["score"]) < 1e-9
 
 
+def test_link_single_pass_matches_vocab_path(spark, edict):
+    """link_mentions_single_pass (one corpus scan, dict-side pre-grouping,
+    in-row array best-selection) must produce row-identical output to the
+    vocab-scoring path — including unlinked-mention drops and the
+    min_score filter."""
+    from arachne_spark.kg.link import link_mentions_single_pass
+
+    mentions = extract_mentions(gen_code_files(spark, 500)).localCheckpoint(eager=True)
+    key = ["repo", "path", "mention", "mention_kind"]
+    cols = key + ["canonical_iri", "kind", "alias", "prior", "score"]
+    a = link_mentions(mentions, edict).select(*cols).orderBy(*key).collect()
+    b = link_mentions_single_pass(mentions, edict).select(*cols).orderBy(*key).collect()
+    assert len(a) == len(b) and len(a) > 0
+    for x, y in zip(a, b):
+        assert x["canonical_iri"] == y["canonical_iri"], (x, y)
+        assert x["alias"] == y["alias"] and x["kind"] == y["kind"]
+        assert abs(x["score"] - y["score"]) < 1e-9
+    # the corpus side must see NO aggregate and NO shuffle: the only
+    # exchange below the broadcast join belongs to the dict-scale groupBy
+    plan = (
+        link_mentions_single_pass(mentions, edict)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # mentions feed the join directly — no HashAggregate between the scan of
+    # the mention table and the join (the vocab path's distinct)
+    above_join = plan.split("BroadcastHashJoin")[0]
+    assert "HashAggregate" not in above_join, above_join
+
+
 def test_canonicalize_clusters(spark, edict):
     canon = canonicalize(edict)
     # each canonical_iri maps to a representative; aliases like "class_7"
