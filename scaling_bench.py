@@ -439,9 +439,10 @@ def _write_bench_md(s: dict) -> None:
     lines = [
         "# BENCH — scaling evidence (BASELINE.md protocol)",
         "",
-        "Same end-to-end KG-construction job (synthetic code corpus -> mapInPandas",
-        "extraction -> broadcast+pandas-UDF linking -> connected-components",
-        "canonicalization -> OWL-RL semi-naive fixpoint) on IDENTICAL input at two",
+        "Same end-to-end KG-construction job (synthetic code corpus -> fused",
+        "codegen regex extraction -> broadcast expression linking ->",
+        "connected-components canonicalization -> OWL-RL semi-naive fixpoint on",
+        "dictionary-encoded ids) on IDENTICAL input at two",
         f"local parallelism levels (N={lo} and 4N={hi} cores per the BASELINE.md",
         "protocol), fresh JVM per run, best of "
         f"{s['reps']} repetitions per level.",
