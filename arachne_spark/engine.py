@@ -444,6 +444,11 @@ class FixpointEngine:
         self._string_ctx = _compile_rules(ruleset)
         self._const_terms = rule_constants(ruleset)
         self._id_ctx_cache: dict[int, _CompiledRules] = {}
+        # test hook: when a list, each round appends the PHYSICAL plan of
+        # its derived union before checkpointing (plan-shape regressions —
+        # e.g. a small delta losing its broadcast hint — only show up in
+        # the physical join, never in the optimized plan)
+        self.debug_plan_sink: Optional[list] = None
 
     def _ctx_for_salt(self, salt: int) -> _CompiledRules:
         """Compiled rules with long-id constants for a given dictionary salt.
@@ -1252,6 +1257,21 @@ class FixpointEngine:
 
             delta_in = delta_total
 
+            # Size-adaptive delta joins: localCheckpointed deltas carry no
+            # size statistics, so Catalyst cannot auto-broadcast them and
+            # plans a SortMergeJoin that shuffles the ENTIRE facts relation
+            # even when the delta is 600 rows (the late-fixpoint norm — at
+            # 80M facts that round measured 9-45 s of pure shuffle). The
+            # driver knows |delta| exactly from the stats job, so hint the
+            # broadcast itself: every delta-variant join then streams the
+            # facts/store side map-only, no Exchange on the 10^8-row side.
+            # One shared object so beta-prefix sharing keys stay stable.
+            delta_rel = (
+                F.broadcast(delta)
+                if 0 < delta_total <= self.broadcast_rows
+                else delta
+            )
+
             cache: dict = {}
             derived_parts: list[DataFrame] = []
             derived_meta_parts: list[DataFrame] = []
@@ -1287,7 +1307,7 @@ class FixpointEngine:
                         variants_skipped += 1
                         continue
                     dfs = [
-                        facts if j < i else (delta if j == i else facts_old)
+                        facts if j < i else (delta_rel if j == i else facts_old)
                         for j in range(k)
                     ]
                     bound = self._compile_variant(
@@ -1322,6 +1342,10 @@ class FixpointEngine:
             _mark("compile")
             if derived_parts:
                 derived = reduce(DataFrame.unionByName, derived_parts)
+                if self.debug_plan_sink is not None:
+                    self.debug_plan_sink.append(
+                        derived._jdf.queryExecution().executedPlan().toString()
+                    )
                 # Dedup new heads, then subtract known facts. The derived set
                 # is distinct'd and checkpointed FIRST so the driver can pick
                 # the anti-join physical by its actual size: small derived →

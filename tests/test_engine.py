@@ -547,3 +547,31 @@ def test_var_head_predicate_correct_with_store(spark, tmp_path):
     assert spo_set(st.facts) == expect
     # the derived-but-already-known fact must not re-enter the delta
     assert st.metrics[-1].delta_out == 0
+
+
+def test_small_delta_joins_broadcast_physical(spark):
+    """A delta below broadcast_rows must reach every delta-variant join as
+    the BUILD side of a BroadcastHashJoin (the facts side streams map-only).
+
+    localCheckpointed deltas carry no size stats, so without the explicit
+    driver hint Catalyst plans a SortMergeJoin that shuffles the whole facts
+    relation — at 80M store rows the measured cost of that plan was 9-45 s
+    for a 600-row delta (scaling_runs.jsonl, round 3). Only the PHYSICAL
+    plan exposes the regression, hence executedPlan() not the optimized plan.
+    """
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(24)]
+    eng = FixpointEngine(spark, _trans_rules())
+    eng.debug_plan_sink = []
+    res = eng.materialize(triples_df(spark, chain))
+    assert res.rounds >= 3 and len(eng.debug_plan_sink) >= res.rounds
+    for rnd, plan in enumerate(eng.debug_plan_sink, start=1):
+        assert "BroadcastHashJoin" in plan, (rnd, plan)
+        assert "SortMergeJoin" not in plan, (rnd, plan)
+
+    # sensitivity guard: with the broadcast budget off, the same fixpoint
+    # plans shuffled joins — proves the assertion above can actually fail
+    eng0 = FixpointEngine(spark, _trans_rules(), broadcast_rows=0)
+    eng0.debug_plan_sink = []
+    res0 = eng0.materialize(triples_df(spark, chain))
+    assert spo_set(res0.facts) == spo_set(res.facts)
+    assert any("SortMergeJoin" in p for p in eng0.debug_plan_sink)
