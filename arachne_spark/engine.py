@@ -449,6 +449,12 @@ class FixpointEngine:
         # e.g. a small delta losing its broadcast hint — only show up in
         # the physical join, never in the optimized plan)
         self.debug_plan_sink: Optional[list] = None
+        # debug-only per-variant timing channel: set to a list and every
+        # round's union branches are ALSO counted one-by-one (extra jobs!)
+        # with (round, rule, variant, rows, seconds) appended — the
+        # small-delta-round decomposition tool reads it
+        self.variant_probe: Optional[list] = None
+        self._probe_parts: list = []
 
     def _ctx_for_salt(self, salt: int) -> _CompiledRules:
         """Compiled rules with long-id constants for a given dictionary salt.
@@ -551,6 +557,141 @@ class FixpointEngine:
 
     def _rule_keys(self, rule: Rule) -> list[Optional[tuple]]:
         return [self._atom_key(a) for a in rule.body]
+
+    # -- value-level alpha propagation (driver-side semi-join pruning for
+    # var-predicate atoms). A variable in PREDICATE position defeats the
+    # per-predicate count skipping above: the atom matches every fact, so
+    # e.g. prp-trp's (?x ?p ?y) forces a full-facts scan each round even
+    # when the only transitive property is one IRI the delta never carries
+    # (measured: the two prp-trp variants were the whole cost of the
+    # zero-output fixpoint-confirmation round — 12-46 s at 40-80M facts).
+    # When that same variable also appears in s/o position of a const-
+    # predicate atom (the property-characteristic TBox pattern: (?p rdf:type
+    # owl:TransitiveProperty), (?p rdfs:subPropertyOf ?q), (?r owl:chainFirst
+    # ?p) ...), the atom's alpha slice is TBox-sized, so the driver collects
+    # its distinct values ONCE (cache invalidated by the slice's exact alpha
+    # count, which only grows) and then
+    #   (a) SKIPS a delta variant outright when the delta's own predicate
+    #       set is disjoint from the allowed values, and
+    #   (b) pushes `p IN (values)` into the facts/facts_old side of every
+    #       surviving var-predicate atom — which partition-prunes the
+    #       __pb-bucketed store to the matching buckets instead of scanning
+    #       all facts.
+    # This is the distributed analogue of the reference's per-predicate
+    # alpha index dispatch (ReteNodes.scala:88-93): Rete never scans the
+    # whole working memory for (?x ?p ?y) because tokens arrive pre-indexed
+    # by predicate; here the driver narrows the scan declaratively instead.
+    PRED_SET_CAP = 1024  # max |values| usable as an IN filter / skip set
+    PRED_SLICE_COLLECT_ROWS = 65536  # collect only TBox-small alpha slices
+    PRED_PB_CAP = 48  # max OR-chain length for __pb partition pruning
+    pred_values_rows = 100_000_000  # delta pred-set job gate (one O(delta) scan)
+
+    @staticmethod
+    def _var_pred_constraints(rule: Rule) -> dict[int, list[tuple]]:
+        """Per body-atom index with a VARIABLE predicate: the list of
+        (alpha_key, 's'|'o') slices of OTHER body atoms that constrain the
+        variable's values. Empty list = unconstrained (e.g. eq-rep-s)."""
+        out: dict[int, list[tuple]] = {}
+        for j, atom in enumerate(rule.body):
+            v = atom[1]
+            if _is_const(v) or isinstance(v, Any_):
+                continue
+            cons: list[tuple] = []
+            for m, am in enumerate(rule.body):
+                if m == j:
+                    continue
+                kk = FixpointEngine._atom_key(am)
+                if kk is None:
+                    continue
+                if am[0] == v:
+                    cons.append((kk, "s"))
+                if am[2] == v:
+                    cons.append((kk, "o"))
+            out[j] = cons
+        return out
+
+    def _slice_values(
+        self, facts: DataFrame, kk: tuple, pos: str, totals: dict, cache: dict
+    ) -> Optional[frozenset]:
+        """Distinct s- or o-values of one alpha slice of ``facts``, or None
+        when the slice is too big to collect/use. Cached per (key, pos) and
+        keyed by the slice's current alpha count: facts are append-only set
+        semantics, so an unchanged count proves an unchanged slice."""
+        cnt = totals.get(kk, 0)
+        hit = cache.get((kk, pos))
+        if hit is not None and hit[0] == cnt:
+            return hit[1]
+        vals: Optional[frozenset] = None
+        if self.PRED_SLICE_COLLECT_ROWS < 0:
+            pass  # pruning disabled (tests' sensitivity guard)
+        elif cnt == 0:
+            vals = frozenset()
+        elif cnt <= self.PRED_SLICE_COLLECT_ROWS:
+            rel = facts
+            if "__pb" in rel.columns:
+                rel = rel.filter(F.col("__pb") == _pb_of_const(kk[1]))
+            cond = F.col("p") == F.lit(kk[1])
+            if kk[0] == "po":
+                cond = cond & (F.col("o") == F.lit(kk[2]))
+            col = "s" if pos == "s" else "o"
+            rows = (
+                rel.filter(cond)
+                .select(col)
+                .distinct()
+                .limit(self.PRED_SET_CAP + 1)
+                .collect()
+            )
+            if len(rows) <= self.PRED_SET_CAP:
+                vals = frozenset(r[0] for r in rows)
+        cache[(kk, pos)] = (cnt, vals)
+        return vals
+
+    def _allowed_preds(
+        self,
+        facts: DataFrame,
+        cons: list[tuple],
+        totals: dict,
+        cache: dict,
+    ) -> Optional[frozenset]:
+        """Intersection of the available constraint slices' value sets (a
+        safe superset of the variable's matches — using any subset of the
+        constraints only widens it). None = no usable constraint."""
+        out: Optional[frozenset] = None
+        for kk, pos in cons:
+            s = self._slice_values(facts, kk, pos, totals, cache)
+            if s is None:
+                continue
+            out = s if out is None else (out & s)
+        return out
+
+    def _delta_pred_values(
+        self, delta: DataFrame, n_rows: int
+    ) -> Optional[frozenset]:
+        """The delta's distinct predicate set (bounded: one O(|delta|) scan
+        of an already-checkpointed delta, collect capped at PRED_SET_CAP)."""
+        if not (0 < n_rows <= self.pred_values_rows):
+            return None
+        rows = (
+            delta.select("p").distinct().limit(self.PRED_SET_CAP + 1).collect()
+        )
+        if len(rows) > self.PRED_SET_CAP:
+            return None
+        return frozenset(r[0] for r in rows)
+
+    @staticmethod
+    def _pred_restrict(df: DataFrame, allowed: frozenset) -> DataFrame:
+        """`p IN (allowed)` pushed onto a facts-side relation; on the
+        __pb-bucketed store the matching bucket literals partition-prune the
+        scan (an OR-chain of foldable bucket expressions, capped — beyond
+        PRED_PB_CAP buckets most files are touched anyway)."""
+        out = df.filter(F.col("p").isin(list(allowed)))
+        if "__pb" in df.columns and 0 < len(allowed) <= FixpointEngine.PRED_PB_CAP:
+            pb = reduce(
+                lambda a, b: a | b,
+                [F.col("__pb") == _pb_of_const(p) for p in allowed],
+            )
+            out = out.filter(pb)
+        return out
 
     def _write_meta(self, *, ids: bool, salt: int = 0) -> None:
         """Record the checkpoint representation. The string path writes
@@ -1237,6 +1378,20 @@ class FixpointEngine:
         else:
             totals_old, facts_old_total, _ = self._delta_stats(facts_old, ctx)
 
+        # value-level alpha propagation state: per-rule var-predicate
+        # constraint shapes (static), the collected TBox-slice value cache
+        # (invalidated by exact alpha counts), and the current delta's
+        # predicate set (None when unknown/too big). The seed delta's set is
+        # only worth a job when the delta is a proper subset of facts
+        # (incremental batches); a fresh round-1 delta IS facts.
+        vp_cons = [self._var_pred_constraints(r) for r in ctx.rules]
+        slice_cache: dict = {}
+        delta_pvals: Optional[frozenset] = (
+            self._delta_pred_values(delta, delta_total)
+            if delta_total < facts_count
+            else None
+        )
+
         # budget is rounds executed THIS call — a long-lived incremental
         # store whose cumulative round numbering exceeds max_rounds must
         # still close the new batch's fixpoint
@@ -1281,7 +1436,8 @@ class FixpointEngine:
             # fired CONST-predicate heads); None once any var-predicate head
             # fires — _dedup_facts_side then probes dd at runtime instead
             head_preds: Optional[set] = set()
-            for rule in ctx.rules:
+            restrict_cache: dict = {}
+            for rule_idx, rule in enumerate(ctx.rules):
                 keys = self._rule_keys(rule)
                 # whole-rule skip: an alpha memory (const p / const (p,o) atom)
                 # with zero matching facts overall
@@ -1306,15 +1462,54 @@ class FixpointEngine:
                     ):
                         variants_skipped += 1
                         continue
+                    # value-level pruning: resolve each var-predicate atom's
+                    # allowed predicate set from its TBox-slice constraints;
+                    # an empty set (or a delta whose predicates are disjoint
+                    # from the delta-position atom's set) proves the variant
+                    # empty WITHOUT a job, else the set narrows the scan
+                    restrict: dict[int, frozenset] = {}
+                    provably_empty = False
+                    for j, cons in vp_cons[rule_idx].items():
+                        if not cons:
+                            continue
+                        allowed = self._allowed_preds(
+                            facts, cons, totals, slice_cache
+                        )
+                        if allowed is None:
+                            continue
+                        if not allowed or (
+                            j == i
+                            and delta_pvals is not None
+                            and delta_pvals.isdisjoint(allowed)
+                        ):
+                            provably_empty = True
+                            break
+                        restrict[j] = allowed
+                    if provably_empty:
+                        variants_skipped += 1
+                        continue
                     dfs = [
                         facts if j < i else (delta_rel if j == i else facts_old)
                         for j in range(k)
                     ]
+                    for j, allowed in restrict.items():
+                        rk = (id(dfs[j]), allowed)
+                        if rk not in restrict_cache:
+                            restrict_cache[rk] = self._pred_restrict(
+                                dfs[j], allowed
+                            )
+                        dfs[j] = restrict_cache[rk]
                     bound = self._compile_variant(
                         cache, dfs, rule, with_triples=self.store_derivations
                     )
                     heads = apply_head(bound, rule.head)
                     derived_parts.append(heads)
+                    if self.variant_probe is not None:
+                        # debug-only (tools/smallround_probe.py): label each
+                        # union branch so the probe pass below can time and
+                        # attribute per-variant cost; adds extra jobs, never
+                        # on in benchmarks
+                        self._probe_parts.append((rnd, rule.name, i, heads))
                     rule_fired = True
                     if head_preds is not None:
                         for ha in rule.head:
@@ -1366,6 +1561,24 @@ class FixpointEngine:
                 )
                 n_dd = obs.get["n"]
                 _mark("derive_distinct")
+                if self.variant_probe is not None:
+                    # re-execute each branch separately to attribute the
+                    # fused union's cost (inputs are parquet/checkpointed,
+                    # so per-branch conditions match the union run)
+                    for prnd, rname, vi, part in self._probe_parts:
+                        _pt = time.time()
+                        pn = part.count()
+                        self.variant_probe.append(
+                            {
+                                "round": prnd,
+                                "rule": rname,
+                                "variant": vi,
+                                "rows": pn,
+                                "seconds": round(time.time() - _pt, 4),
+                            }
+                        )
+                    self._probe_parts = []
+                    _mark("probe")
                 if n_dd == 0:
                     # fixpoint reached: skip the anti-join jobs entirely
                     new_delta = dd
@@ -1402,6 +1615,11 @@ class FixpointEngine:
                 new_delta = _empty_like(facts).localCheckpoint(eager=True)
             new_preds, delta_out, lineage = self._delta_stats(new_delta, ctx)
             _mark("stats")
+            # next round's (a)-skip input: the new delta's predicate set —
+            # one bounded job over the just-checkpointed delta (no job at
+            # fixpoint, where delta_out == 0)
+            delta_pvals = self._delta_pred_values(new_delta, delta_out)
+            _mark("pred_values")
 
             if self.store_derivations and delta_out > 0 and derived_meta_parts:
                 meta = reduce(DataFrame.unionByName, derived_meta_parts)

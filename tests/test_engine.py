@@ -575,3 +575,120 @@ def test_small_delta_joins_broadcast_physical(spark):
     res0 = eng0.materialize(triples_df(spark, chain))
     assert spo_set(res0.facts) == spo_set(res.facts)
     assert any("SortMergeJoin" in p for p in eng0.debug_plan_sink)
+
+
+def _gated_trans_rules():
+    """prp-trp shape: a var-predicate transitivity rule gated by a
+    property-characteristic atom, plus a pred-rewriting chain that keeps the
+    fixpoint running on predicates the transitive slice never contains."""
+    return load_rules_json(
+        [
+            {
+                "name": "tr",
+                "body": [
+                    ["?p", "http://ex/t", "http://ex/Trans"],
+                    ["?x", "?p", "?y"],
+                    ["?y", "?p", "?z"],
+                ],
+                "head": [["?x", "?p", "?z"]],
+            },
+            {
+                "name": "m1",
+                "body": [["?x", "http://ex/m1", "?y"]],
+                "head": [["?x", "http://ex/m2", "?y"]],
+            },
+            {
+                "name": "m2",
+                "body": [["?x", "http://ex/m2", "?y"]],
+                "head": [["?x", "http://ex/m3", "?y"]],
+            },
+            {
+                "name": "m3",
+                "body": [["?x", "http://ex/m3", "?y"]],
+                "head": [["?x", "http://ex/m4", "?y"]],
+            },
+        ]
+    )
+
+
+def _gated_trans_data():
+    data = [(f"<e{i}>", "<http://ex/ext>", f"<e{i+1}>") for i in range(3)]
+    data.append(("<http://ex/ext>", "<http://ex/t>", "<http://ex/Trans>"))
+    data += [(f"<a{i}>", "<http://ex/m1>", f"<b{i}>") for i in range(4)]
+    return data
+
+
+def test_var_pred_value_pruning_matches_oracle_and_skips(spark):
+    """Value-level alpha propagation (the small-delta-round fix): once the
+    ext-closure settles, later rounds' deltas carry only m2/m3/m4 predicates
+    — disjoint from the collected transitive-property slice {ext} — so the
+    tr delta-variants are skipped without a job. Facts must be identical to
+    the naive oracle AND to a run with pruning disabled; the skip counters
+    prove the mechanism actually fired."""
+    from arachne_spark.oracle import naive_fixpoint
+
+    rules = _gated_trans_rules()
+    data = _gated_trans_data()
+    expect = naive_fixpoint(data, rules)
+
+    eng = FixpointEngine(spark, rules)
+    res = eng.materialize(triples_df(spark, data))
+    assert spo_set(res.facts) == expect
+
+    eng0 = FixpointEngine(spark, rules)
+    eng0.PRED_SLICE_COLLECT_ROWS = -1  # sensitivity guard: pruning off
+    res0 = eng0.materialize(triples_df(spark, data))
+    assert spo_set(res0.facts) == expect
+    assert res.rounds == res0.rounds
+    skips = sum(m.variants_skipped for m in res.metrics)
+    skips0 = sum(m.variants_skipped for m in res0.metrics)
+    assert skips > skips0, (skips, skips0)
+
+
+def test_var_pred_restrict_pushes_pred_filter_into_store_scan(spark, tmp_path):
+    """With the bucketed store, a surviving var-predicate facts-side atom
+    must scan only the allowed-predicate slice: the executed plan's store
+    scan carries a PartitionFilter on __pb (value-level restriction), not a
+    full-store scan. PHYSICAL plan, per the r3 lesson."""
+    rules = _gated_trans_rules()
+    data = _gated_trans_data()
+    eng = FixpointEngine(
+        spark, rules, checkpoint_dir=str(tmp_path / "ck"), pred_partitioned=True
+    )
+    eng.debug_plan_sink = []
+    res = eng.materialize(triples_df(spark, data))
+    from arachne_spark.oracle import naive_fixpoint
+
+    assert spo_set(res.facts) == naive_fixpoint(data, rules)
+    # round 1: the tr variant's facts-side (?x ?p ?y) atom is restricted to
+    # p IN {ext}, so EVERY store scan in the round-1 plan is partition-
+    # pruned on __pb (const-pred atoms already were; the var-pred atom is
+    # what the restriction adds)
+    def _store_partition_filters(plan: str) -> list[str]:
+        out = []
+        for frag in plan.split("FileScan parquet")[1:]:
+            # store scans carry the __rnd/__pb columns (Location paths are
+            # truncated in plan strings, so match on the scan's columns)
+            if "__pb#" not in frag.split("]")[0]:
+                continue
+            if "PartitionFilters:" not in frag:
+                out.append("")
+                continue
+            out.append(frag.split("PartitionFilters: [")[1].split("]")[0])
+        return out
+
+    pf1 = _store_partition_filters(eng.debug_plan_sink[0])
+    assert pf1, eng.debug_plan_sink[0]
+    assert all("__pb" in f for f in pf1), pf1
+
+    # sensitivity guard: pruning off -> the var-pred atom scans the whole
+    # store (an empty PartitionFilters on at least one store scan)
+    eng0 = FixpointEngine(
+        spark, rules, checkpoint_dir=str(tmp_path / "ck0"), pred_partitioned=True
+    )
+    eng0.PRED_SLICE_COLLECT_ROWS = -1
+    eng0.debug_plan_sink = []
+    res0 = eng0.materialize(triples_df(spark, data))
+    assert spo_set(res0.facts) == spo_set(res.facts)
+    pf0 = _store_partition_filters(eng0.debug_plan_sink[0])
+    assert any("__pb" not in f for f in pf0), pf0
