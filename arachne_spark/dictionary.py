@@ -30,6 +30,7 @@ inside the loop.
 from __future__ import annotations
 
 from functools import reduce
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,16 +57,44 @@ def encode_ids(triples: DataFrame, salt: int = 0) -> DataFrame:
     )
 
 
-def decode_ids(ids: DataFrame, term_dict: DataFrame) -> DataFrame:
+def decode_ids(
+    ids: DataFrame, term_dict: DataFrame, strict: bool = False
+) -> DataFrame:
     """(s,p,o long) -> (s,p,o string) via 3 dictionary joins (export path).
     Inner joins are exact because the dictionary covers the full closed term
-    universe (input terms + rule constants)."""
+    universe (input terms + rule constants).
+
+    ``strict=True`` (used when the vocabulary was caller-provided, so
+    coverage is a contract rather than a construction): left joins plus a
+    per-row assert_true, so a term missing from the dictionary raises at
+    scan time instead of silently dropping the fact."""
     out = ids
     for c in TRIPLE_COLS:
         m = term_dict.select(
             F.col("id").alias(c), F.col("term").alias(f"__{c}_term")
         )
-        out = out.join(m, on=c, how="inner")
+        out = out.join(m, on=c, how="left" if strict else "inner")
+    if strict:
+        cols = [
+            F.when(
+                F.col(f"__{c}_term").isNotNull(), F.col(f"__{c}_term")
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"decode miss on '{c}': term id absent from the "
+                            "caller-provided vocabulary (coverage contract "
+                            "violated), id="
+                        ),
+                        F.col(c).cast("string"),
+                    )
+                )
+            )
+            .alias(c)
+            for c in TRIPLE_COLS
+        ]
+        return out.select(*cols)
     return out.select(*[F.col(f"__{c}_term").alias(c) for c in TRIPLE_COLS])
 
 
@@ -76,6 +105,7 @@ def build_term_dict(
     *,
     max_salt: int = 8,
     start_salt: int = 0,
+    vocab: Optional[DataFrame] = None,
 ) -> tuple[int, DataFrame]:
     """Distinct term vocabulary + collision-free salt.
 
@@ -83,16 +113,33 @@ def build_term_dict(
     localCheckpoint'ed. One distinct shuffle over the input terms (the same
     pass a decode dictionary needs anyway); per-salt verification is a single
     map-side-combinable aggregate over the checkpointed vocabulary.
-    """
-    # Per-column distincts, NOT explode-then-distinct: exploding to 3N rows
-    # before a high-cardinality distinct defeats map-side partial aggregation
-    # (each map task's hash table holds nearly the whole vocabulary and
-    # spills) — measured ~2x slower and anti-scaling with executor count.
-    # Column-wise, p/o collapse to tiny sets map-side and only the
-    # subject-like column carries its true cardinality; the second distinct
-    # then runs over ~|vocab| pre-deduped rows.
-    cols = [triples.select(F.col(c).alias("term")).distinct() for c in TRIPLE_COLS]
-    terms = reduce(DataFrame.unionByName, cols)
+
+    ``vocab``: caller-provided term universe (single string column) that
+    MUST cover every term in ``triples``. KG pipelines usually know their
+    vocabulary from dimension tables (entity dictionaries, file inventories)
+    that are far thinner than the fact stream — supplying it replaces the
+    per-column distincts over the full triple table (the dominant
+    dictionary-build cost: 2 high-cardinality fat-string shuffles) with one
+    distinct over the dimension union. Coverage is the caller's contract;
+    the engine's strict decode (decode_ids(..., strict=True)) turns a
+    violation into a loud error instead of silently dropped facts. The
+    collision check below still runs against the provided universe, so a
+    superset vocabulary is safe (it can only force an extra salt retry)."""
+    if vocab is not None:
+        terms = vocab.select(F.col(vocab.columns[0]).alias("term"))
+    else:
+        # Per-column distincts, NOT explode-then-distinct: exploding to 3N
+        # rows before a high-cardinality distinct defeats map-side partial
+        # aggregation (each map task's hash table holds nearly the whole
+        # vocabulary and spills) — measured ~2x slower and anti-scaling with
+        # executor count. Column-wise, p/o collapse to tiny sets map-side
+        # and only the subject-like column carries its true cardinality; the
+        # second distinct then runs over ~|vocab| pre-deduped rows.
+        cols = [
+            triples.select(F.col(c).alias("term")).distinct()
+            for c in TRIPLE_COLS
+        ]
+        terms = reduce(DataFrame.unionByName, cols)
     if extra_terms:
         terms = terms.unionByName(
             spark.createDataFrame([(t,) for t in extra_terms], "term string")

@@ -730,14 +730,26 @@ class FixpointEngine:
         return bool(self.pred_partitioned)
 
     def materialize(
-        self, asserted: DataFrame, *, row_hint: Optional[int] = None
+        self,
+        asserted: DataFrame,
+        *,
+        row_hint: Optional[int] = None,
+        vocab: Optional[DataFrame] = None,
     ) -> FixpointResult:
         """Run to least fixpoint (processTriples, RuleEngine.scala:50-65).
 
         ``row_hint``: approximate input row count, when the caller already
         knows it (e.g. just counted a staged table) — skips the auto-mode
         sizing scan. Only feeds threshold decisions, never correctness.
-        """
+
+        ``vocab``: caller-provided term universe (one string column) that
+        must cover every term in ``asserted`` — typically the union of the
+        pipeline's dimension tables (entity dictionary, file inventory,
+        TBox constants), which are far thinner than the fact stream. Skips
+        the dictionary build's per-column distincts over the full input (2
+        high-cardinality fat-string shuffles); decode turns strict, so a
+        coverage violation raises instead of dropping facts. Ignored in
+        string mode."""
         self._clear_stale_checkpoint()
         self._setup_ph = {}
         _t = [time.time()]
@@ -776,7 +788,9 @@ class FixpointEngine:
                 facts, facts, round0=0, prior_metrics=[], derivations=None,
                 ctx=self._string_ctx, use_store=use_store,
             )
-        salt, term_dict = build_term_dict(self.spark, asserted, self._const_terms)
+        salt, term_dict = build_term_dict(
+            self.spark, asserted, self._const_terms, vocab=vocab
+        )
         _mark0("dict_build")
         ctx = self._ctx_for_salt(salt)
         self._write_meta(ids=True, salt=salt)
@@ -788,14 +802,18 @@ class FixpointEngine:
             facts_ids, facts_ids, round0=0, prior_metrics=[], derivations=None,
             ctx=ctx, use_store=use_store,
         )
-        return self._wrap_ids(raw, term_dict, salt)
+        return self._wrap_ids(raw, term_dict, salt, strict=vocab is not None)
 
     def _wrap_ids(
-        self, raw: FixpointResult, term_dict: DataFrame, salt: int
+        self,
+        raw: FixpointResult,
+        term_dict: DataFrame,
+        salt: int,
+        strict: bool = False,
     ) -> FixpointResult:
         return FixpointResult(
-            facts=decode_ids(raw.facts, term_dict),
-            asserted=decode_ids(raw.asserted, term_dict),
+            facts=decode_ids(raw.facts, term_dict, strict=strict),
+            asserted=decode_ids(raw.asserted, term_dict, strict=strict),
             rounds=raw.rounds,
             metrics=raw.metrics,
             derivations=raw.derivations,

@@ -89,10 +89,12 @@ def _config_stamp(abox_store: str, staging: str, fixpoint_store: str, mult: int)
         )
     )
     link_mode = os.environ.get("SPARK_GRAFT_LINK", "vocab")
+    vocab_mode = os.environ.get("SPARK_GRAFT_VOCAB", "dims")
     tmpl = (
         rev + ";abox={abox};staging={staging};store={store};mult={mult};"
         f"{exec_part};shuffle={shm}"
         + (f";link={link_mode}" if link_mode != "vocab" else "")
+        + (f";vocab={vocab_mode}" if vocab_mode != "dims" else "")
     )
     _REV_CACHE.append(tmpl)
     return tmpl.format(
@@ -286,12 +288,53 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
             "/dev/shm" if os.path.isdir("/dev/shm") else None,
         )
         ckpt_dir = tempfile.mkdtemp(prefix="fixpoint_", dir=ckpt_base)
+    # Dictionary vocabulary from DIMENSION tables (SPARK_GRAFT_VOCAB=dims,
+    # the default; "scan" reverts to the engine's per-column distincts for
+    # A/B). The pipeline KNOWS its term universe structurally: file IRIs
+    # project off the corpus table (one thin scan), entity/kind IRIs off the
+    # entity dictionary, plus the closed predicate/TBox constant set —
+    # exactly the Iceberg-dimension-table shape a production KG build has.
+    # This replaces the dictionary build's two high-cardinality fat-string
+    # distinct shuffles over the full 2N-row triple table with one distinct
+    # over ~N thin rows; the engine's strict decode makes any coverage slip
+    # a loud error (and the id-space + dictionary checksums would catch it
+    # cross-level anyway).
+    vocab = None
+    if os.environ.get("SPARK_GRAFT_VOCAB", "dims") == "dims":
+        from arachne_spark.kg.extract import _KIND_PRED, file_iri_col
+
+        const_terms = [f"<{p}>" for p in _KIND_PRED.values()] + [TYPE]
+        const_terms += [t for row in tbox for t in row]
+        vocab = (
+            corpus.select(file_iri_col().alias("term"))
+            .unionByName(
+                edict.select(
+                    F.concat(
+                        F.lit("<"), F.col("canonical_iri"), F.lit(">")
+                    ).alias("term")
+                )
+            )
+            .unionByName(
+                edict.select(
+                    F.concat(
+                        F.lit("<http://example.org/code/Kind/"),
+                        F.col("kind"),
+                        F.lit(">"),
+                    ).alias("term")
+                )
+            )
+            .unionByName(
+                spark.createDataFrame(
+                    [(t,) for t in set(const_terms)], "term string"
+                )
+            )
+        )
     t0 = time.time()
     rules = RuleSet(list(owl_rl_core()) + [indirect_type_rule()])
     # row_hint: the abox was just counted off its parquet staging — skip the
     # engine's auto-mode sizing scan (one full pass over 2N*16M rows saved)
     res = FixpointEngine(spark, rules, checkpoint_dir=ckpt_dir).materialize(
-        asserted, row_hint=n_abox + len(tbox)
+        asserted, row_hint=n_abox + len(tbox), vocab=vocab
     )
     t_infer = time.time() - t0
     facts = res.facts

@@ -692,3 +692,38 @@ def test_var_pred_restrict_pushes_pred_filter_into_store_scan(spark, tmp_path):
     assert spo_set(res0.facts) == spo_set(res.facts)
     pf0 = _store_partition_filters(eng0.debug_plan_sink[0])
     assert any("__pb" not in f for f in pf0), pf0
+
+
+def test_materialize_with_caller_vocab_matches_default(spark):
+    """The dimension-table vocabulary path: identical facts AND identical
+    dictionary behavior to the engine-built (per-column distinct) path; a
+    superset vocabulary is safe."""
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(8)]
+    terms = sorted({t for row in chain for t in row}) + ["<unused-extra>"]
+    vocab = spark.createDataFrame([(t,) for t in terms], "term string")
+    base = FixpointEngine(spark, _trans_rules(), dict_encode=True).materialize(
+        triples_df(spark, chain)
+    )
+    res = FixpointEngine(spark, _trans_rules(), dict_encode=True).materialize(
+        triples_df(spark, chain), vocab=vocab
+    )
+    assert spo_set(res.facts) == spo_set(base.facts)
+    assert res.salt == base.salt
+
+
+def test_caller_vocab_coverage_violation_raises(spark):
+    """An incomplete caller vocabulary must raise at decode time (strict
+    decode), never silently drop facts — the failure mode of trusting a
+    stale dimension table."""
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(4)]
+    terms = sorted({t for row in chain for t in row})
+    vocab = spark.createDataFrame(
+        [(t,) for t in terms if t != "<n0>"], "term string"
+    )
+    res = FixpointEngine(spark, _trans_rules(), dict_encode=True).materialize(
+        triples_df(spark, chain), vocab=vocab
+    )
+    # count() prunes the projection (strictness fires when VALUES are
+    # materialized — export, collect, write)
+    with pytest.raises(Exception, match="decode miss|USER_RAISED_EXCEPTION"):
+        res.facts.collect()

@@ -28,9 +28,17 @@ def main() -> None:
     ap.add_argument("--n-files", type=int, default=4000000)
     ap.add_argument("--cores", type=int, default=16)
     ap.add_argument("--mult", type=int, default=2)
+    ap.add_argument("--mode", default="local")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(args.cores))
+    master = None
+    if args.mode == "local-cluster":
+        exec_cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
+        exec_mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144"))
+        n_exec = max(1, args.cores // exec_cores)
+        master = f"local-cluster[{n_exec},{exec_cores},{exec_mem_mb}]"
+        os.environ["SPARK_GRAFT_EXECUTOR_MEM"] = f"{exec_mem_mb - 1024}m"
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
@@ -57,6 +65,7 @@ def main() -> None:
         cores=args.cores,
         shuffle_partitions=args.cores * args.mult,
         extra={"spark.ui.showConsoleProgress": "false"},
+        master=master,
     )
 
     corpus = gen_code_files(spark, args.n_files)
