@@ -646,6 +646,77 @@ class FixpointEngine:
         cache[(kk, pos)] = (cnt, vals)
         return vals
 
+    def _warm_slice_cache(
+        self, facts: DataFrame, vp_cons: list, totals: dict, cache: dict
+    ) -> None:
+        """Collect every stale-but-eligible TBox-slice value set in ONE
+        single-pass job. A cold cache otherwise pays one small collect job
+        per slice inside the rule loop (~10 scheduler round trips at round 1
+        on a typical OWL-RL rule set) — a pure per-leg floor that the rest of
+        the round cannot amortize. One scan + one map-side-partial aggregate
+        replaces them; later rounds find every count unchanged and skip the
+        job entirely. Collect size stays bounded: only slices whose exact
+        alpha count is <= PRED_SLICE_COLLECT_ROWS are included, so the
+        per-tag collect_set state is capped by construction."""
+        if self.PRED_SLICE_COLLECT_ROWS < 0:
+            return
+        needed: list[tuple] = []
+        seen: set = set()
+        for per_rule in vp_cons:
+            for cons in per_rule.values():
+                for kk, pos in cons:
+                    if (kk, pos) in seen:
+                        continue
+                    seen.add((kk, pos))
+                    cnt = totals.get(kk, 0)
+                    hit = cache.get((kk, pos))
+                    if hit is not None and hit[0] == cnt:
+                        continue
+                    if cnt == 0:
+                        cache[(kk, pos)] = (0, frozenset())
+                    elif cnt <= self.PRED_SLICE_COLLECT_ROWS:
+                        needed.append((kk, pos, cnt))
+        if not needed:
+            return
+        preds = {kk[1] for kk, _, _ in needed}
+        rel = facts
+        if "__pb" in facts.columns:
+            if len(preds) <= self.PRED_PB_CAP:
+                pb = reduce(
+                    lambda a, b: a | b,
+                    [F.col("__pb") == _pb_of_const(p) for p in preds],
+                )
+                rel = rel.filter(pb)
+            rel = rel.select(*TRIPLE_COLS)
+        rel = rel.filter(F.col("p").isin(list(preds)))
+        sel = [
+            F.when(
+                (F.col("p") == F.lit(kk[1]))
+                & (
+                    (F.col("o") == F.lit(kk[2]))
+                    if kk[0] == "po"
+                    else F.lit(True)
+                ),
+                F.struct(
+                    F.lit(i).alias("t"),
+                    (F.col("s") if pos == "s" else F.col("o")).alias("v"),
+                ),
+            )
+            for i, (kk, pos, _) in enumerate(needed)
+        ]
+        rows = (
+            rel.select(F.explode(F.array(*sel)).alias("e"))
+            .where(F.col("e").isNotNull())
+            .groupBy(F.col("e.t").alias("t"))
+            .agg(F.collect_set(F.col("e.v")).alias("vs"))
+            .collect()
+        )
+        got = {r["t"]: r["vs"] for r in rows}
+        for i, (kk, pos, cnt) in enumerate(needed):
+            vs = got.get(i, [])
+            vals = frozenset(vs) if len(vs) <= self.PRED_SET_CAP else None
+            cache[(kk, pos)] = (cnt, vals)
+
     def _allowed_preds(
         self,
         facts: DataFrame,
@@ -1446,6 +1517,9 @@ class FixpointEngine:
             )
 
             cache: dict = {}
+            # one-pass warm of the TBox-slice value cache (round 1 does the
+            # single job; later rounds see unchanged counts and skip it)
+            self._warm_slice_cache(facts, vp_cons, totals, slice_cache)
             derived_parts: list[DataFrame] = []
             derived_meta_parts: list[DataFrame] = []
             rules_skipped = 0

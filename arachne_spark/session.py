@@ -66,6 +66,15 @@ def build_session(
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
         b = b.config("spark.local.dir", local_dir)
+    # Shuffled-hash-join preference (A/B knob): the fixpoint's delta-variant
+    # joins and dedup anti-joins are equi-joins on 8-byte dictionary ids with
+    # bounded per-partition build sides; SMJ pays two full sorts per join
+    # (including provably-sparse ones like prp-trp's self-join), SHJ builds a
+    # hash table instead. Opt-in via SPARK_GRAFT_PREFER_SHJ=1 so the scaling
+    # bench can A/B it; safe only while build partitions fit the executor
+    # heap, which the engine's shuffle-partition sizing maintains.
+    if os.environ.get("SPARK_GRAFT_PREFER_SHJ") == "1":
+        b = b.config("spark.sql.join.preferSortMergeJoin", "false")
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
