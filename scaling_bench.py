@@ -90,13 +90,13 @@ def _config_stamp(abox_store: str, staging: str, fixpoint_store: str, mult: int)
     )
     link_mode = os.environ.get("SPARK_GRAFT_LINK", "vocab")
     vocab_mode = os.environ.get("SPARK_GRAFT_VOCAB", "dims")
-    shj = os.environ.get("SPARK_GRAFT_PREFER_SHJ", "")
+    shj = os.environ.get("SPARK_GRAFT_PREFER_SHJ", "1") != "0"
     tmpl = (
         rev + ";abox={abox};staging={staging};store={store};mult={mult};"
         f"{exec_part};shuffle={shm}"
         + (f";link={link_mode}" if link_mode != "vocab" else "")
         + (f";vocab={vocab_mode}" if vocab_mode != "dims" else "")
-        + (";shj" if shj == "1" else "")
+        + (";shj" if shj else ";smj")
     )
     _REV_CACHE.append(tmpl)
     return tmpl.format(
