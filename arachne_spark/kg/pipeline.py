@@ -33,6 +33,7 @@ def build_triples(
     min_score: float = 0.5,
     dedup: bool = True,
     staging: str = "none",
+    staging_dir: Optional[str] = None,
     link: str = "vocab",
 ) -> DataFrame:
     """Extraction + linking + canonicalization -> encoded candidate triples.
@@ -55,10 +56,33 @@ def build_triples(
       stage the OUTPUT once — parquet at cluster scale.
     - "checkpoint": the pre-r4 behavior (mentions localCheckpoint), kept for
       memory-staged single-scan pipelines and as the differential baseline.
+    - "parquet": write the mentions ONCE to a parquet staging table
+      (``staging_dir`` or a temp dir under $SPARK_GRAFT_STAGING_DIR /
+      /dev/shm) and re-read it. The fused "none" plan evaluates the corpus
+      subtree TWICE — the vocab-scoring branch of link_mentions re-runs
+      source read + regex to discover the vocabulary — which at 100 TB means
+      reading the source corpus twice. Parquet staging pays one columnar
+      write of the (much smaller) mention table instead; the vocab branch
+      then scans a single dictionary-encoded column, and the join-back scans
+      the staged table once. This is the realistic cluster shape (derived
+      tables on distributed storage), and the caller owns ``staging_dir``'s
+      lifetime (the default temp dir lives for the session).
     """
     mentions = extract_mentions(code_files)
     if staging == "checkpoint":
         mentions = mentions.localCheckpoint(eager=True)
+    elif staging == "parquet":
+        import os
+        import tempfile
+
+        base = staging_dir or os.environ.get("SPARK_GRAFT_STAGING_DIR") or (
+            "/dev/shm" if os.path.isdir("/dev/shm") else None
+        )
+        d = os.path.join(
+            tempfile.mkdtemp(prefix="mentions_", dir=base), "mentions"
+        )
+        mentions.write.mode("overwrite").parquet(d)
+        mentions = code_files.sparkSession.read.parquet(d)
     # ``link``: "vocab" scores the distinct mention vocabulary then
     # broadcast-joins back (cheapest when mentions are staged/checkpointed —
     # the second scan is a block read); "single_pass" pre-groups the

@@ -110,7 +110,7 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
     # leg executes must not split one invocation's legs into two epochs
     # (pair_report pairs legs only on exact stamp match)
     abox_store_0 = os.environ.get("SPARK_GRAFT_ABOX_STORE", "parquet")
-    staging_0 = os.environ.get("SPARK_GRAFT_MENTION_STAGING", "none")
+    staging_0 = os.environ.get("SPARK_GRAFT_MENTION_STAGING", "parquet")
     fixpoint_store_0 = os.environ.get("SPARK_GRAFT_FIXPOINT_STORE", "auto")
     mult_0 = int(os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "2"))
     stamp = _config_stamp(abox_store_0, staging_0, fixpoint_store_0, mult_0)
@@ -204,12 +204,28 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
     # string rows measured ~5x the recompute AND cannot hold 16M files on
     # the 1x4 leg). Both knobs remain env-overridable for A/B.
     abox_store = os.environ.get("SPARK_GRAFT_ABOX_STORE", "parquet")
-    staging = os.environ.get("SPARK_GRAFT_MENTION_STAGING", "none")
+    # r4 A/B (8M, both legs, identical checksums): parquet mention staging
+    # beat the fused double-pass at BOTH levels (1x4 245->194 s, 4x16
+    # 87.6->85.3 s) — one corpus pass + a columnar staging write is the
+    # 100 TB shape (the source is never read twice)
+    staging = os.environ.get("SPARK_GRAFT_MENTION_STAGING", "parquet")
+    mentions_dir = None
+    if staging == "parquet":
+        import tempfile
+
+        mentions_dir = tempfile.mkdtemp(
+            prefix="mentions_",
+            dir=os.environ.get(
+                "SPARK_GRAFT_ABOX_DIR",
+                "/dev/shm" if os.path.isdir("/dev/shm") else None,
+            ),
+        )
     triples = build_triples(
         corpus,
         edict,
         dedup=False,
         staging=staging,
+        staging_dir=mentions_dir,
         link=os.environ.get("SPARK_GRAFT_LINK", "vocab"),
     )
     if abox_store == "parquet":
@@ -399,6 +415,8 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
         shutil.rmtree(os.path.dirname(abox_dir), ignore_errors=True)
     if ckpt_dir:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
+    if mentions_dir:
+        shutil.rmtree(mentions_dir, ignore_errors=True)
     return out
 
 

@@ -317,3 +317,34 @@ def test_build_triples_fused_matches_checkpoint(spark):
     )
     rdd_lines = [l for l in plan.splitlines() if "LogicalRDD" in l]
     assert not any("mention" in l or "content" in l for l in rdd_lines), plan
+
+
+def test_build_triples_parquet_staging_matches_fused(spark, tmp_path):
+    """staging='parquet' (one corpus pass + columnar mention staging — the
+    100 TB shape where the source is never read twice) is MULTISET-identical
+    to the fused plan, and its plan reads the staged parquet, not the
+    corpus, on both consumer branches."""
+    from collections import Counter
+
+    from arachne_spark.kg import gen_code_files, gen_entity_dict
+    from arachne_spark.kg.pipeline import build_triples
+
+    corpus = gen_code_files(spark, 300)
+    edict = gen_entity_dict(spark)
+    fused = Counter(
+        tuple(r) for r in build_triples(corpus, edict, dedup=False).collect()
+    )
+    out = build_triples(
+        corpus,
+        edict,
+        dedup=False,
+        staging="parquet",
+        staging_dir=str(tmp_path),
+    )
+    staged = Counter(tuple(r) for r in out.collect())
+    assert fused == staged
+    # the corpus subtree (Range + content exprs) must be GONE from the plan:
+    # every leaf is either the staged parquet scan or a tiny driver table
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Relation" in plan and "parquet" in plan
+    assert "Range" not in plan, plan
