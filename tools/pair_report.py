@@ -143,12 +143,31 @@ def main() -> int:
                 "eff_e2e": eff(lo, hi, "wall"),
                 "eff_infer": eff(lo, hi, "t_infer"),
                 "eff_extract": eff(lo, hi, "t_extract_link_canon"),
+                "eff_e2e_steal_adj": _steal_adj_eff(lo, hi),
                 "config": [lo.get("config", ""), hi.get("config", "")],
             }
             print("  " + json.dumps(row))
             if args.phases and rank == 0:
                 print("  " + json.dumps(_phase_eff(lo, hi)))
     return 1 if gate_failed else 0
+
+
+def _steal_adj_eff(lo: dict, hi: dict) -> float:
+    """First-order steal correction, reported ALONGSIDE raw (never instead):
+    a leg that recorded S cpu-s of steal over wall W at C cores delivered
+    (C*W - S) core-seconds, so the same work on quiet hardware would take
+    ~W * (C*W - S)/(C*W). Assumes steal is uniform over the run and the job
+    loses proportionally — both first-order; raw + per-leg steal stay the
+    primary record."""
+    try:
+        def adj(r: dict) -> float:
+            cw = r["cores"] * r["wall"]
+            s = min(r.get("steal_sec", 0.0), 0.9 * cw)
+            return r["wall"] * (cw - s) / cw
+
+        return round((adj(lo) / adj(hi)) / (hi["cores"] / lo["cores"]), 3)
+    except Exception:
+        return float("nan")
 
 
 def _phase_eff(lo: dict, hi: dict) -> dict:
