@@ -48,6 +48,18 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # decouple pre-shuffle parallelism from the static partition count:
+        # a fixed cores-scaled number makes per-partition aggregate state
+        # grow linearly with data (a 256M-row distinct at 8 partitions
+        # builds 32M-row hash tables and spills — spill is extra DRAM
+        # traffic, the one resource a single box cannot scale). A high
+        # initial count bounds per-partition state at every input size and
+        # AQE coalesces back to advisory-size/parallelism afterwards —
+        # the same setting a 1000-executor deployment runs with.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(shuffle_partitions * 8, 128)),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
