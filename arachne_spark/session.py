@@ -58,7 +58,9 @@ def build_session(
         # the same setting a 1000-executor deployment runs with.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(max(shuffle_partitions * 8, 128)),
+            os.environ.get(
+                "SPARK_GRAFT_INIT_PARTS", str(max(shuffle_partitions * 8, 128))
+            ),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
