@@ -70,6 +70,13 @@ def build_session(
     exec_mem = os.environ.get("SPARK_GRAFT_EXECUTOR_MEM")
     if exec_mem:
         b = b.config("spark.executor.memory", exec_mem)
+    # Shuffle/broadcast IO codec A/B knob (default: Spark's lz4). zstd
+    # halves shuffle bytes at some CPU cost — relevant where shuffle
+    # bandwidth is the scaling-limited resource (this sandbox's shared
+    # DRAM; spinning-disk or thin-NIC clusters).
+    codec = os.environ.get("SPARK_GRAFT_IO_CODEC")
+    if codec:
+        b = b.config("spark.io.compression.codec", codec)
     # Shuffle/spill files default to /tmp — on this sandbox a SINGLE shared
     # virtual disk whose bandwidth does not grow with executor count (an
     # anti-scaling artifact the steal counter cannot see). On a real cluster
