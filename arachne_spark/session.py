@@ -77,6 +77,22 @@ def build_session(
     codec = os.environ.get("SPARK_GRAFT_IO_CODEC")
     if codec:
         b = b.config("spark.io.compression.codec", codec)
+    # Runtime bloom-filter A/B knob: Spark's defaults (creation side <=10MB,
+    # application side >=10GB scan) never inject for this engine's
+    # mid-sized joins; SPARK_GRAFT_BLOOM=1 widens both so sparse joins
+    # (e.g. a transitive-property self-join with no chains in the data)
+    # get probe-side bloom pruning before the shuffle.
+    if os.environ.get("SPARK_GRAFT_BLOOM") == "1":
+        b = (
+            b.config(
+                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+                "512MB",
+            ).config(
+                "spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold",
+                "64MB",
+            )
+        )
     # Shuffle/spill files default to /tmp — on this sandbox a SINGLE shared
     # virtual disk whose bandwidth does not grow with executor count (an
     # anti-scaling artifact the steal counter cannot see). On a real cluster
