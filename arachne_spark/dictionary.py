@@ -100,7 +100,7 @@ def decode_ids(
 
 def build_term_dict(
     spark: SparkSession,
-    triples: DataFrame,
+    triples: Optional[DataFrame],  # ignored (may be None) when vocab is given
     extra_terms: list[str],
     *,
     max_salt: int = 8,

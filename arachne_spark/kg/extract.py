@@ -204,14 +204,29 @@ def mentions_to_triples(linked: DataFrame, mention_col: str = "canonical_iri") -
     )
 
 
-def linked_to_triples(linked: DataFrame, mention_col: str = "canonical_iri") -> DataFrame:
+def linked_to_triples(
+    linked: DataFrame,
+    mention_col: str = "canonical_iri",
+    *,
+    salt: "int | None" = None,
+) -> DataFrame:
     """Linked mentions -> BOTH triple kinds in ONE pass: each linked row
     explodes to its edge triple (file IRI, predicate-by-kind, entity) and its
     type triple (entity, rdf:type, Kind). Multiset-identical to
     ``mentions_to_triples(linked) UNION ALL`` the type projection, but the
     upstream plan (extraction + broadcast link) executes once instead of once
     per branch — the branch union was one of the reasons the mentions table
-    needed a materialization boundary (VERDICT r3 next-round #1)."""
+    needed a materialization boundary (VERDICT r3 next-round #1).
+
+    ``salt`` is not None -> emit PRE-ENCODED long ids instead of strings:
+    every term expression is wrapped in the dictionary's ``term_id_col``
+    (xxhash64) INSIDE this projection, so the fat IRI strings exist only as
+    transient codegen values — never in a staged table, never in a shuffle.
+    Feed the result to ``FixpointEngine.materialize_encoded`` with a
+    ``build_term_dict(vocab=...)`` dictionary built at the SAME salt
+    (exactly equal, row for row, to ``encode_ids(linked_to_triples(...),
+    salt)`` — differential-tested)."""
+    from arachne_spark.dictionary import term_id_col
     from arachne_spark.model import RDF_TYPE, encode_iri
 
     pred = F.element_at(
@@ -219,17 +234,22 @@ def linked_to_triples(linked: DataFrame, mention_col: str = "canonical_iri") -> 
         F.col("mention_kind"),
     )
     ent = F.concat(F.lit("<"), F.col(mention_col), F.lit(">"))
+    enc = (lambda c: term_id_col(c, salt)) if salt is not None else (lambda c: c)
     both = F.array(
         F.struct(
-            file_iri_col().alias("s"),
-            F.concat(F.lit("<"), pred, F.lit(">")).alias("p"),
-            ent.alias("o"),
+            enc(file_iri_col()).alias("s"),
+            enc(F.concat(F.lit("<"), pred, F.lit(">"))).alias("p"),
+            enc(ent).alias("o"),
         ),
         F.struct(
-            ent.alias("s"),
-            F.lit(encode_iri(RDF_TYPE)).alias("p"),
-            F.concat(
-                F.lit("<http://example.org/code/Kind/"), F.col("kind"), F.lit(">")
+            enc(ent).alias("s"),
+            enc(F.lit(encode_iri(RDF_TYPE))).alias("p"),
+            enc(
+                F.concat(
+                    F.lit("<http://example.org/code/Kind/"),
+                    F.col("kind"),
+                    F.lit(">"),
+                )
             ).alias("o"),
         ),
     )

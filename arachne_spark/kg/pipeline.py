@@ -35,6 +35,7 @@ def build_triples(
     staging: str = "none",
     staging_dir: Optional[str] = None,
     link: str = "vocab",
+    id_salt: Optional[int] = None,
 ) -> DataFrame:
     """Extraction + linking + canonicalization -> encoded candidate triples.
 
@@ -43,6 +44,13 @@ def build_triples(
     here shuffles the full fat-string rows for nothing — measured as THE
     extraction-side scaling bottleneck in separate-executor (local-cluster)
     runs. Keep the default for standalone use of the triple table.
+
+    ``id_salt`` is not None -> PRE-ENCODED output: (s,p,o) are xxhash64 long
+    ids (linked_to_triples(salt=...)); pair with
+    ``FixpointEngine.materialize_encoded`` and a ``build_term_dict(vocab=...)``
+    dictionary fixed at the same salt. The IRI strings then never hit a
+    staging table or shuffle — the r4-measured DRAM-bound phases (fat-string
+    stage-0 distinct + encode) shrink to 24-byte-row work.
 
     ``staging`` controls the mentions materialization boundary:
     - "none" (default): the WHOLE stage is one fused lazy plan — codegen'd
@@ -66,7 +74,8 @@ def build_triples(
       then scans a single dictionary-encoded column, and the join-back scans
       the staged table once. This is the realistic cluster shape (derived
       tables on distributed storage), and the caller owns ``staging_dir``'s
-      lifetime (the default temp dir lives for the session).
+      lifetime (the default temp dir lives until process exit, then an
+      atexit hook removes it).
     """
     mentions = extract_mentions(code_files)
     if staging == "checkpoint":
@@ -78,9 +87,18 @@ def build_triples(
         base = staging_dir or os.environ.get("SPARK_GRAFT_STAGING_DIR") or (
             "/dev/shm" if os.path.isdir("/dev/shm") else None
         )
-        d = os.path.join(
-            tempfile.mkdtemp(prefix="mentions_", dir=base), "mentions"
-        )
+        tmp_root = tempfile.mkdtemp(prefix="mentions_", dir=base)
+        if staging_dir is None:
+            # default (caller didn't claim the dir): register cleanup so
+            # repeated build_triples calls don't leak RAM-backed /dev/shm
+            # staging tables for the life of the process (ADVICE r4 #3).
+            # atexit, not eager delete — the returned plan lazily re-reads
+            # the staged parquet, so it must outlive this function.
+            import atexit
+            import shutil
+
+            atexit.register(shutil.rmtree, tmp_root, ignore_errors=True)
+        d = os.path.join(tmp_root, "mentions")
         mentions.write.mode("overwrite").parquet(d)
         mentions = code_files.sparkSession.read.parquet(d)
     # ``link``: "vocab" scores the distinct mention vocabulary then
@@ -107,7 +125,7 @@ def build_triples(
             )
             .drop("canonical")
         )
-    out = linked_to_triples(linked)
+    out = linked_to_triples(linked, salt=id_salt)
     return out.distinct() if dedup else out
 
 

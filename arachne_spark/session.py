@@ -111,7 +111,15 @@ def build_session(
     # partition (canBuildLocalHashMap) and keeps SMJ otherwise, so the
     # spill-safe fallback survives at 100 TB. Measured (8M-file KG pair,
     # identical checksums): infer -26% at 1x4, e2e -19% at 4x4.
-    # SPARK_GRAFT_PREFER_SHJ=0 restores Spark's SMJ preference for A/B.
+    # RISK (ADVICE r4): SHJ's build-side hash map does NOT spill — a
+    # misestimated or skewed build partition can OOM where SMJ was safe.
+    # Mitigations that keep this default sane at cluster scale: AQE skew
+    # handling is on, the estimate gate (canBuildLocalHashMap vs
+    # maxPartitionBytes * shuffledHashJoinFactor) still rejects big build
+    # sides, and the engine's hot build sides are driver-counted deltas or
+    # TBox slices with known sizes. If an OOM is ever traced here, set
+    # SPARK_GRAFT_PREFER_SHJ=0 — it restores Spark's SMJ preference (also
+    # the A/B knob).
     if os.environ.get("SPARK_GRAFT_PREFER_SHJ", "1") != "0":
         b = b.config("spark.sql.join.preferSortMergeJoin", "false")
     for k, v in (extra or {}).items():

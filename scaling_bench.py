@@ -91,12 +91,16 @@ def _config_stamp(abox_store: str, staging: str, fixpoint_store: str, mult: int)
     link_mode = os.environ.get("SPARK_GRAFT_LINK", "vocab")
     vocab_mode = os.environ.get("SPARK_GRAFT_VOCAB", "dims")
     shj = os.environ.get("SPARK_GRAFT_PREFER_SHJ", "1") != "0"
+    preenc_on = (
+        os.environ.get("SPARK_GRAFT_PREENC", "1") != "0" and vocab_mode == "dims"
+    )
     tmpl = (
         rev + ";abox={abox};staging={staging};store={store};mult={mult};"
         f"{exec_part};shuffle={shm}"
         + (f";link={link_mode}" if link_mode != "vocab" else "")
         + (f";vocab={vocab_mode}" if vocab_mode != "dims" else "")
         + (";shj" if shj else ";smj")
+        + (";preenc" if preenc_on else "")
     )
     _REV_CACHE.append(tmpl)
     return tmpl.format(
@@ -220,44 +224,10 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
                 "/dev/shm" if os.path.isdir("/dev/shm") else None,
             ),
         )
-    triples = build_triples(
-        corpus,
-        edict,
-        dedup=False,
-        staging=staging,
-        staging_dir=mentions_dir,
-        link=os.environ.get("SPARK_GRAFT_LINK", "vocab"),
-    )
-    if abox_store == "parquet":
-        import tempfile
-
-        # stage on tmpfs when available: a single local ext4 device caps
-        # write bandwidth at a constant regardless of cores (anti-scaling
-        # artifact of the sandbox), while a real cluster's staging storage
-        # (HDFS/S3/Iceberg) scales with the writer count — RAM-backed tmpfs
-        # is the closest local model of that
-        base = os.environ.get(
-            "SPARK_GRAFT_ABOX_DIR",
-            "/dev/shm" if os.path.isdir("/dev/shm") else None,
-        )
-        abox_dir = tempfile.mkdtemp(prefix="abox_", dir=base) + "/triples"
-        # fold the row count into the write job itself (Observation) — the
-        # count-back after the write was one extra full scan of the staged
-        # table per leg
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        triples.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-            "overwrite"
-        ).parquet(abox_dir)
-        n_abox = obs.get["n"]
-        abox = spark.read.parquet(abox_dir)
-    else:
-        abox = triples.localCheckpoint(eager=True)
-        n_abox = abox.count()
-    t_extract = time.time() - t0
-
     # TBox: kind hierarchy, extends is transitive, calls ⊑ dependsOn
+    # (driver-side constants — built BEFORE extraction because the
+    # pre-encoded path needs the vocabulary, and the vocabulary needs the
+    # TBox constant set)
     TYPE, SCO, SPO = (
         encode_iri(RDF_TYPE),
         encode_iri(RDFS_SUBCLASSOF),
@@ -286,11 +256,8 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
         )
     )
     tbox += strict_superclass_triples(kind_edges)
-    asserted = abox.unionByName(
-        spark.createDataFrame(tbox, "s string, p string, o string")
-    )
 
-    # stage 4: fixpoint. A checkpoint_dir on tmpfs turns on the
+    # stage 4 config: a checkpoint_dir on tmpfs turns on the
     # predicate-bucketed facts store (pred_partitioned="auto" crosses over
     # at 10M facts): per-round alpha scans and the fact-dedup join then
     # prune to __pb bucket files instead of scanning the full in-memory
@@ -347,13 +314,83 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
                 )
             )
         )
-    t0 = time.time()
     rules = RuleSet(list(owl_rl_core()) + [indirect_type_rule()])
+    engine = FixpointEngine(spark, rules, checkpoint_dir=ckpt_dir)
+    # PRE-ENCODED long-id extraction (SPARK_GRAFT_PREENC=1, the default;
+    # requires the dims vocabulary): build the dictionary FIRST from the
+    # thin dimension tables, then have the extract/link plan emit xxhash64
+    # ids directly — the fat IRI strings never hit the abox staging table
+    # (24-byte rows instead of ~200-byte strings: the r4-pinned DRAM-bound
+    # stage-0 distinct + encode phases shrink proportionally). "0" reverts
+    # to string staging + engine-side encode for A/B; ids and checksums are
+    # identical either way (differential-tested).
+    preenc = (
+        os.environ.get("SPARK_GRAFT_PREENC", "1") != "0" and vocab is not None
+    )
+    salt, term_dict, t_dict = 0, None, 0.0
+    if preenc:
+        td0 = time.time()
+        salt, term_dict = engine.build_dictionary(vocab)
+        t_dict = round(time.time() - td0, 2)
+    triples = build_triples(
+        corpus,
+        edict,
+        dedup=False,
+        staging=staging,
+        staging_dir=mentions_dir,
+        link=os.environ.get("SPARK_GRAFT_LINK", "vocab"),
+        id_salt=salt if preenc else None,
+    )
+    if abox_store == "parquet":
+        import tempfile
+
+        # stage on tmpfs when available: a single local ext4 device caps
+        # write bandwidth at a constant regardless of cores (anti-scaling
+        # artifact of the sandbox), while a real cluster's staging storage
+        # (HDFS/S3/Iceberg) scales with the writer count — RAM-backed tmpfs
+        # is the closest local model of that
+        base = os.environ.get(
+            "SPARK_GRAFT_ABOX_DIR",
+            "/dev/shm" if os.path.isdir("/dev/shm") else None,
+        )
+        abox_dir = tempfile.mkdtemp(prefix="abox_", dir=base) + "/triples"
+        # fold the row count into the write job itself (Observation) — the
+        # count-back after the write was one extra full scan of the staged
+        # table per leg
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        triples.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(abox_dir)
+        n_abox = obs.get["n"]
+        abox = spark.read.parquet(abox_dir)
+    else:
+        abox = triples.localCheckpoint(eager=True)
+        n_abox = abox.count()
+    t_extract = time.time() - t0
+
+    tbox_strings = spark.createDataFrame(tbox, "s string, p string, o string")
+    if preenc:
+        from arachne_spark.dictionary import encode_ids
+
+        asserted = abox.unionByName(encode_ids(tbox_strings, salt))
+    else:
+        asserted = abox.unionByName(tbox_strings)
+
+    # stage 4: fixpoint.
+    t0 = time.time()
     # row_hint: the abox was just counted off its parquet staging — skip the
     # engine's auto-mode sizing scan (one full pass over 2N*16M rows saved)
-    res = FixpointEngine(spark, rules, checkpoint_dir=ckpt_dir).materialize(
-        asserted, row_hint=n_abox + len(tbox), vocab=vocab
-    )
+    if preenc:
+        res = engine.materialize_encoded(
+            asserted, term_dict=term_dict, salt=salt,
+            row_hint=n_abox + len(tbox),
+        )
+    else:
+        res = engine.materialize(
+            asserted, row_hint=n_abox + len(tbox), vocab=vocab
+        )
     t_infer = time.time() - t0
     facts = res.facts
 
@@ -396,6 +433,7 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
         "checksum": int(checksum),
         "dict_checksum": dict_checksum,
         "t_extract_link_canon": round(t_extract, 2),
+        "t_dict": t_dict,
         "t_infer": round(t_infer, 2),
         "t_checksum": round(t_checksum, 2),
         "wall": round(wall, 2),

@@ -732,3 +732,127 @@ def test_caller_vocab_coverage_violation_raises(spark):
     # materialized — export, collect, write)
     with pytest.raises(Exception, match="decode miss|USER_RAISED_EXCEPTION"):
         res.facts.collect()
+    # strictness must follow the result onto every decode path, not just
+    # facts/asserted — inferred_only re-decodes from ids (ADVICE r4 #1)
+    with pytest.raises(Exception, match="decode miss|USER_RAISED_EXCEPTION"):
+        res.inferred_only().collect()
+
+
+def test_store_compact_crash_recovery(spark, tmp_path, monkeypatch):
+    """_store_compact's only crash window is between its two renames; that
+    state (and the adjacent ones: torn .compact before the swap, leftover
+    .old after it) must leave a store _store_recover repairs, so resume()
+    reproduces the fixpoint instead of silently rebuilding from `asserted`
+    (VERDICT r4 "What's wrong #2": the previous rmtree-then-rename order
+    had a window with NO store at all)."""
+    import os
+    import shutil
+
+    ckpt = str(tmp_path / "ckpt")
+    chain = [(f"<n{i}>", f"<{R}>", f"<n{i+1}>") for i in range(8)]
+    df = triples_df(spark, chain)
+    eng = FixpointEngine(
+        spark, _trans_rules(), checkpoint_dir=ckpt, pred_partitioned=True
+    )
+    expect = spo_set(eng.materialize(df).facts)
+    sd = os.path.join(ckpt, "facts_by_p")
+
+    # inject a crash exactly between the two renames
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def flaky(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash between renames")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", flaky)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        eng._store_compact(sd)
+    monkeypatch.setattr(os, "rename", real_rename)
+    # worst state: live dir absent, pre-compact copy aside as .old
+    assert not os.path.isdir(sd) and os.path.isdir(sd + ".old")
+    res2 = FixpointEngine(
+        spark, _trans_rules(), checkpoint_dir=ckpt, pred_partitioned=True
+    ).resume(df)
+    assert spo_set(res2.facts) == expect
+    assert os.path.isdir(sd)
+    assert not os.path.isdir(sd + ".old") and not os.path.isdir(sd + ".compact")
+
+    # crash BEFORE the swap: torn .compact beside a live store
+    os.makedirs(os.path.join(sd + ".compact", "partial"))
+    res3 = FixpointEngine(
+        spark, _trans_rules(), checkpoint_dir=ckpt, pred_partitioned=True
+    ).resume(df)
+    assert spo_set(res3.facts) == expect
+    assert not os.path.isdir(sd + ".compact")
+
+    # crash AFTER the swap, before rmtree(old): leftover .old beside live
+    shutil.copytree(sd, sd + ".old")
+    res4 = FixpointEngine(
+        spark, _trans_rules(), checkpoint_dir=ckpt, pred_partitioned=True
+    ).resume(df)
+    assert spo_set(res4.facts) == expect
+    assert not os.path.isdir(sd + ".old")
+
+
+def test_var_pred_two_slice_intersection_matches_oracle(spark):
+    """VERDICT r4 next-round #3 (proof audit): a predicate variable
+    constrained by TWO gate slices prunes to the INTERSECTION of their value
+    sets — sound because a binding must appear in both slices, and each
+    slice set is collected over the full `facts` relation (a superset of
+    whatever sub-relation — delta or facts_old — the constraining atom is
+    actually joined against). Mixes s- and o-position constraints. Results
+    must match the naive oracle and a pruning-disabled run exactly."""
+    from arachne_spark.oracle import naive_fixpoint
+
+    rules = load_rules_json(
+        [
+            {
+                # ?p constrained by (?p t TA) [s-pos] AND (root has ?p) [o-pos]
+                "name": "tr2",
+                "body": [
+                    ["?x", "?p", "?y"],
+                    ["?p", "http://ex/t", "http://ex/TA"],
+                    ["http://ex/root", "http://ex/has", "?p"],
+                ],
+                "head": [["?x", "http://ex/out", "?y"]],
+            },
+            {
+                # keeps late rounds alive with predicates OUTSIDE the
+                # intersection, so the disjointness skip has something to do
+                "name": "m1",
+                "body": [["?x", "http://ex/m1", "?y"]],
+                "head": [["?x", "http://ex/m2", "?y"]],
+            },
+        ]
+    )
+    data = [
+        ("<e0>", "<http://ex/ext>", "<e1>"),
+        # ext satisfies BOTH constraints
+        ("<http://ex/ext>", "<http://ex/t>", "<http://ex/TA>"),
+        ("<http://ex/root>", "<http://ex/has>", "<http://ex/ext>"),
+        # only the t-slice: must NOT fire tr2
+        ("<http://ex/m1>", "<http://ex/t>", "<http://ex/TA>"),
+        ("<a0>", "<http://ex/m1>", "<a1>"),
+        # only the has-slice: must NOT fire tr2
+        ("<http://ex/root>", "<http://ex/has>", "<http://ex/m9>"),
+        ("<b0>", "<http://ex/m9>", "<b1>"),
+    ]
+    expect = naive_fixpoint(data, rules)
+    assert ("<e0>", "<http://ex/out>", "<e1>") in expect
+    assert ("<a0>", "<http://ex/out>", "<a1>") not in expect
+
+    eng = FixpointEngine(spark, rules)
+    res = eng.materialize(triples_df(spark, data))
+    assert spo_set(res.facts) == expect
+
+    eng0 = FixpointEngine(spark, rules)
+    eng0.PRED_SLICE_COLLECT_ROWS = -1  # sensitivity guard: pruning off
+    res0 = eng0.materialize(triples_df(spark, data))
+    assert spo_set(res0.facts) == expect
+    # the intersection prune skipped variants the unpruned run compiled
+    skips = sum(m.variants_skipped for m in res.metrics)
+    skips0 = sum(m.variants_skipped for m in res0.metrics)
+    assert skips > skips0, (skips, skips0)

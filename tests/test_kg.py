@@ -348,3 +348,79 @@ def test_build_triples_parquet_staging_matches_fused(spark, tmp_path):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Relation" in plan and "parquet" in plan
     assert "Range" not in plan, plan
+
+
+def test_preencoded_pipeline_matches_string_path(spark, corpus, edict):
+    """Pre-encoded long-id extraction (VERDICT r4 next-round #4): the
+    id-emitting plan (linked_to_triples(salt=...)) must produce EXACTLY
+    encode_ids(string plan) row for row, and materialize_encoded over it —
+    with a dimension-table dictionary — must reach the same fixpoint as the
+    string-input engine. The fat IRI strings never materialize."""
+    from arachne_spark.dictionary import encode_ids
+    from arachne_spark.engine import FixpointEngine
+    from arachne_spark.kg.extract import _KIND_PRED, file_iri_col
+    from arachne_spark.model import RDF_TYPE, encode_iri
+    from tests.conftest import spo_set
+
+    rules = load_rules_json(
+        [
+            {
+                "name": "call-dep",
+                "body": [
+                    ["?f", "http://example.org/code/definesFunction", "?fn"],
+                    ["?g", "http://example.org/code/calls", "?fn"],
+                ],
+                "head": [["?g", "http://example.org/code/dependsOn", "?f"]],
+            },
+            {
+                "name": "extends-trans",
+                "body": [
+                    ["?a", "http://example.org/code/extends", "?b"],
+                    ["?b", "http://example.org/code/extends", "?c"],
+                ],
+                "head": [["?a", "http://example.org/code/extends", "?c"]],
+            },
+        ]
+    )
+    strings = build_triples(corpus, edict, dedup=False)
+    base = FixpointEngine(spark, rules, dict_encode=True).materialize(strings)
+
+    # dimension-table vocabulary (the scaling-bench shape)
+    const_terms = [f"<{p}>" for p in _KIND_PRED.values()] + [encode_iri(RDF_TYPE)]
+    vocab = (
+        corpus.select(file_iri_col().alias("term"))
+        .unionByName(
+            edict.select(
+                F.concat(F.lit("<"), F.col("canonical_iri"), F.lit(">")).alias(
+                    "term"
+                )
+            )
+        )
+        .unionByName(
+            edict.select(
+                F.concat(
+                    F.lit("<http://example.org/code/Kind/"),
+                    F.col("kind"),
+                    F.lit(">"),
+                ).alias("term")
+            )
+        )
+        .unionByName(
+            spark.createDataFrame([(t,) for t in set(const_terms)], "term string")
+        )
+    )
+    eng = FixpointEngine(spark, rules, dict_encode=True)
+    salt, term_dict = eng.build_dictionary(vocab)
+
+    ids = build_triples(corpus, edict, dedup=False, id_salt=salt)
+    ref_ids = encode_ids(strings, salt)
+    # (a) multiset-identical to encoding the string plan
+    assert ids.exceptAll(ref_ids).count() == 0
+    assert ref_ids.exceptAll(ids).count() == 0
+
+    # (b) same fixpoint, decoded strictly through the dimension dictionary
+    res = eng.materialize_encoded(
+        ids, term_dict=term_dict, salt=salt
+    )
+    assert spo_set(res.facts) == spo_set(base.facts)
+    assert res.rounds == base.rounds

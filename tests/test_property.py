@@ -5,6 +5,10 @@ variables, var-predicates, cross products, multi-atom heads)."""
 
 from __future__ import annotations
 
+import shutil
+import tempfile
+
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -12,6 +16,38 @@ from arachne_spark.engine import FixpointEngine
 from arachne_spark.oracle import naive_fixpoint
 from arachne_spark.rules import Rule, RuleSet, Var
 from tests.conftest import spo_set, triples_df
+
+# The three hot-loop representations (string / 8-byte dict ids / bucketed
+# parquet store) share the round loop but not the encode, dedup, and scan
+# machinery — the round-4 R8 bug lived exactly where the property suite
+# wasn't pointed. Every config here forces its path regardless of input
+# size (dict_encode=True bypasses dict_threshold; pred_partitioned=True
+# with a checkpoint_dir bypasses store_threshold).
+ENGINE_CONFIGS = {
+    "string": dict(dict_encode=False),
+    "dict_ids": dict(dict_encode=True),
+    "store": dict(dict_encode=False, pred_partitioned=True),
+    "dict_store": dict(dict_encode=True, pred_partitioned=True),
+}
+
+
+def _build_engine(spark, rules, cfg_name, workdir=None):
+    cfg = dict(ENGINE_CONFIGS[cfg_name])
+    if cfg.get("pred_partitioned"):
+        cfg["checkpoint_dir"] = tempfile.mkdtemp(
+            prefix=f"prop_{cfg_name}_", dir=workdir
+        )
+    return FixpointEngine(spark, rules, **cfg)
+
+
+def _run_config(spark, rules, triples, cfg_name):
+    eng = _build_engine(spark, rules, cfg_name)
+    try:
+        res = eng.materialize(triples_df(spark, sorted(triples)))
+        return spo_set(res.facts)
+    finally:
+        if eng.checkpoint_dir:
+            shutil.rmtree(eng.checkpoint_dir, ignore_errors=True)
 
 CONSTS = [f"<c{i}>" for i in range(4)]
 PREDS = [f"<p{i}>" for i in range(3)]
@@ -52,7 +88,7 @@ _triples = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -62,7 +98,53 @@ def test_engine_matches_oracle_on_random_programs(spark, rules, triples):
     # guard against pathological blowups the oracle itself created
     if len(expect) > 3000:
         return
-    res = FixpointEngine(spark, rules, dict_encode=False).materialize(
-        triples_df(spark, sorted(triples))
-    )
-    assert spo_set(res.facts) == expect
+    assert _run_config(spark, rules, triples, "string") == expect
+
+
+@pytest.mark.parametrize("cfg_name", ["dict_ids", "store", "dict_store"])
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rules=_rules(), triples=_triples)
+def test_engine_matches_oracle_id_and_store_paths(spark, cfg_name, rules, triples):
+    """Same random-program differential, pointed at the dict-id and
+    bucketed-store representations (round-4 verdict item #2): the extra
+    machinery — encode/decode round-trip, __pb-pruned dedup, store
+    append/read — must be invisible to the fixpoint semantics."""
+    expect = naive_fixpoint(triples, rules)
+    if len(expect) > 3000:
+        return
+    assert _run_config(spark, rules, triples, cfg_name) == expect
+
+
+# ---------------------------------------------------------------------------
+# Round-4 R8 regression, pinned deterministically (VERDICT r4 "What's wrong
+# #1"): facts_old_total was recomputed from GATE-predicate counts only
+# (engine.py's tag=="p" entries exist only for const-predicate body atoms);
+# a program whose body atoms all carry variable predicates read 0 on a
+# non-empty facts_old, and the i < k-1 variant skip dropped the round-2
+# derivation — silent under-derivation, wrong fixpoint. Minimized by the
+# round-4 judge; hypothesis found the original instance.
+# ---------------------------------------------------------------------------
+X, Y = Var("x"), Var("y")
+R8_RULES = RuleSet(
+    [
+        Rule(
+            "r8_min",
+            ((Y, X, X), ("<p0>", X, X)),
+            ((("<c0>", "<p0>", Y)),),
+        )
+    ]
+)
+R8_TRIPLES = [("<p0>", "<p0>", "<p0>")]
+
+
+@pytest.mark.parametrize("cfg_name", sorted(ENGINE_CONFIGS))
+def test_r8_variant_skip_under_derivation_regression(spark, cfg_name):
+    expect = naive_fixpoint(R8_TRIPLES, R8_RULES)
+    # round 1 derives (<c0> <p0> <p0>); round 2 must re-match it through the
+    # var-predicate atom (?y ?x ?x) against facts_old to reach the closure
+    assert ("<c0>", "<p0>", "<c0>") in expect
+    assert _run_config(spark, R8_RULES, R8_TRIPLES, cfg_name) == expect
