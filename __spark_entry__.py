@@ -164,6 +164,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).localCheckpoint(eager=True)
         return rows
 
+    def r13_tc_preencoded(spark, sf_dir):
+        """Pre-encoded long-id path (materialize_encoded, VERDICT r4 #4):
+        the triple plan emits xxhash64 ids straight off the edges table —
+        the IRI strings never materialize into a staged relation — and the
+        dictionary comes from the node vocabulary (dimension-table shape)
+        via build_dictionary. Same recursive-SQL closure oracle as
+        r13_fixpoint_tc certifies end-to-end equality, strict decode."""
+        from arachne_spark.dictionary import term_id_col
+
+        e = _tree_edges(spark, sf_dir)
+        eng = FixpointEngine(spark, _trans_ruleset())
+        vocab = e.select(_enc_id("n", F.col("src")).alias("term")).unionByName(
+            e.select(_enc_id("n", F.col("dst")).alias("term"))
+        )
+        salt, term_dict = eng.build_dictionary(vocab)
+        ids = e.select(
+            term_id_col(_enc_id("n", F.col("src")), salt).alias("s"),
+            term_id_col(F.lit("<p:up>"), salt).alias("p"),
+            term_id_col(_enc_id("n", F.col("dst")), salt).alias("o"),
+        )
+        res = eng.materialize_encoded(ids, term_dict=term_dict, salt=salt)
+        return res.facts.select(
+            _dec_id(F.col("s")).alias("src"), _dec_id(F.col("o")).alias("dst")
+        )
+
     def r13_incremental(spark, sf_dir):
         """Incremental maintenance (Rete reuse analogue, README.md:9): seed
         the store from even-source edges, then assert the odd rest; the
@@ -700,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "r13_fixpoint_tc": r13_fixpoint_tc,
+        "r13_tc_preencoded": r13_tc_preencoded,
         "r13_incremental": r13_incremental,
         "r13_tc_bucketed_store": r13_tc_bucketed_store,
         "s6_inferred_only": s6_inferred_only,
@@ -820,6 +846,7 @@ def oracle_sql() -> dict[str, str]:
          "clo AS (SELECT src, dst FROM e UNION SELECT c.src, e.dst FROM clo c JOIN e ON c.dst = e.src)"
     return {
         "r13_fixpoint_tc": tc + " SELECT src, dst FROM clo",
+        "r13_tc_preencoded": tc + " SELECT src, dst FROM clo",
         "r13_incremental": tc + " SELECT src, dst FROM clo",
         "r13_tc_bucketed_store": tc + " SELECT src, dst FROM clo",
         "s6_inferred_only": tc + f" SELECT src, dst FROM clo EXCEPT {_TREE_SQL}",

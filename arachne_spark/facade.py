@@ -393,6 +393,17 @@ class Reasoner:
         bound = self.select_bgp(where)
         return apply_head(bound, list(template)).distinct()
 
+    def sparql(self, query: str):
+        """SPARQL TEXT surface (Q13): parse a SPARQL string (BGP subset —
+        see arachne_spark.sparql) and execute it through the same atom API
+        as select_bgp/ask_bgp/construct_bgp. Mirrors the reference's ARQ
+        entry points (ref ArachneOWLReasoner.scala:319-338: executeSelect/
+        executeConstruct/executeAsk over the inferred model). Returns a
+        DataFrame (SELECT/CONSTRUCT) or bool (ASK)."""
+        from arachne_spark.sparql import execute_sparql
+
+        return execute_sparql(self, query)
+
     def create_view(self, name: str = "facts") -> None:
         """Register the facts for spark.sql(...) — the general query surface."""
         self.facts.createOrReplaceTempView(name)

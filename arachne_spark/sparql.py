@@ -1,0 +1,429 @@
+"""SPARQL text front-end for the reasoner's query surface (Q13).
+
+The reference executes SPARQL *strings* over the inferred model through ARQ
+(ref ArachneOWLReasoner.scala:319-338: executeSelect/executeConstruct/
+executeAsk take a Query parsed from text). The repo's native surface is the
+BGP-atom API (facade.select_bgp/ask_bgp/construct_bgp) plus spark.sql over
+create_view(); this module closes the porting gap by parsing the SPARQL
+subset those users actually run against a reasoner — basic graph patterns —
+into the SAME atom API, so the whole execution path (alpha sharing, join
+chain, store pruning) is reused unchanged.
+
+Supported subset (documented, checked — anything else raises
+NotImplementedError naming the construct):
+
+- ``PREFIX`` declarations (including the default ``:``)
+- ``SELECT [DISTINCT] (?v ... | *) WHERE { BGP } [ORDER BY ...] [LIMIT n]
+  [OFFSET n]``
+- ``ASK [WHERE] { BGP }``
+- ``CONSTRUCT { template } WHERE { BGP } [LIMIT n]``
+- BGP: triple patterns with ``.`` separators, ``;`` predicate lists, ``,``
+  object lists, ``a`` for rdf:type
+- terms: ``<iri>``, ``pfx:local``, ``?var``/``$var``, ``"lit"`` (with
+  ``@lang`` / ``^^dt``), integers/decimals/booleans, ``[]``-free
+- ``FILTER``: ``=``/``!=`` between variables and terms, and
+  ``REGEX(?v, "pat" [, "i"])`` over the term's text (IRI body / literal
+  lexical form)
+
+Out of scope (raise): OPTIONAL, UNION, MINUS, GRAPH, property paths,
+subqueries, aggregates, VALUES, BIND, SERVICE, numeric-order FILTERs.
+Those callers use ``create_view()`` + spark.sql.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence, Tuple, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from arachne_spark.model import RDF_TYPE, encode_iri, encode_literal
+from arachne_spark.plans.compiler import var_col
+from arachne_spark.rules import Atom, Var
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+# one token class per alternative; longest-match order matters
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<comment>\#[^\n]*)
+      | (?P<iri><[^<>\s{}|^`\\]*>)
+      | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
+      | (?P<string>"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^<>\s]*>|\^\^[A-Za-z_][\w-]*:[\w-]+)?)
+      | (?P<numeric>[+-]?(?:\d+\.\d*|\.\d+|\d+))
+      | (?P<pname>[A-Za-z_][\w-]*)?:(?P<plocal>[A-Za-z_][\w.-]*)?
+      | (?P<keyword>[A-Za-z][A-Za-z_]*)
+      | (?P<punct>\{|\}|\(|\)|\.|;|,|\*|!=|<=|>=|=|<|>)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(q: str) -> List[Tuple[str, str]]:
+    out: List[Tuple[str, str]] = []
+    i = 0
+    while i < len(q):
+        m = _TOKEN.match(q, i)
+        if not m or m.end() == i:
+            rest = q[i:].strip()
+            if not rest:
+                break
+            raise ValueError(f"SPARQL: cannot tokenize at: {rest[:40]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "comment":
+            continue
+        if m.group("pname") is not None or (
+            m.group("iri") is None
+            and m.group("var") is None
+            and m.group("string") is None
+            and m.group("numeric") is None
+            and m.group("keyword") is None
+            and m.group("punct") is None
+        ):
+            # prefixed name (possibly with empty prefix and/or local part)
+            out.append(("pname", m.group(0).strip()))
+            continue
+        out.append((kind, m.group(0).strip()))
+    return out
+
+
+@dataclass
+class ParsedQuery:
+    kind: str  # "select" | "ask" | "construct"
+    where: List[Atom]
+    select_vars: Optional[List[str]] = None  # None = SELECT *
+    distinct: bool = False
+    template: List[Atom] = field(default_factory=list)
+    filters: List[Callable[[DataFrame], Column]] = field(default_factory=list)
+    order_by: List[Tuple[str, bool]] = field(default_factory=list)  # (var, desc)
+    limit: Optional[int] = None
+    offset: Optional[int] = None
+
+
+_UNSUPPORTED = {
+    "OPTIONAL", "UNION", "MINUS", "GRAPH", "SERVICE", "BIND", "VALUES",
+    "EXISTS", "GROUP", "HAVING", "DESCRIBE", "INSERT", "DELETE",
+}
+
+
+class _Parser:
+    def __init__(self, query: str) -> None:
+        self.toks = _tokenize(query)
+        self.pos = 0
+        self.prefixes: dict[str, str] = {}
+
+    # -- token helpers -------------------------------------------------------
+    def _peek(self) -> Tuple[str, str]:
+        return self.toks[self.pos] if self.pos < len(self.toks) else ("eof", "")
+
+    def _next(self) -> Tuple[str, str]:
+        t = self._peek()
+        self.pos += 1
+        return t
+
+    def _kw(self) -> str:
+        k, v = self._peek()
+        return v.upper() if k == "keyword" else ""
+
+    def _expect(self, value: str) -> None:
+        k, v = self._next()
+        if v != value and v.upper() != value:
+            raise ValueError(f"SPARQL: expected {value!r}, got {v!r}")
+
+    def _check_supported(self, word: str) -> None:
+        if word in _UNSUPPORTED:
+            raise NotImplementedError(
+                f"SPARQL construct {word} is outside the supported subset "
+                "(basic graph patterns + FILTER =/!=/REGEX); use "
+                "Reasoner.create_view() + spark.sql for the general surface"
+            )
+
+    # -- terms ---------------------------------------------------------------
+    def _expand_pname(self, text: str):
+        pfx, _, local = text.partition(":")
+        if pfx not in self.prefixes:
+            raise ValueError(f"SPARQL: undeclared prefix {pfx!r}: in {text!r}")
+        return encode_iri(self.prefixes[pfx] + local)
+
+    def _term(self, tok: Tuple[str, str]):
+        kind, text = tok
+        if kind == "var":
+            return Var(text[1:])
+        if kind == "iri":
+            return text  # already <...>-encoded
+        if kind == "pname":
+            return self._expand_pname(text)
+        if kind == "numeric":
+            dt = _XSD + ("integer" if re.fullmatch(r"[+-]?\d+", text) else "decimal")
+            return encode_literal(text, dt=dt)
+        if kind == "string":
+            m = re.fullmatch(
+                r'"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9-]*)'
+                r"|\^\^(<[^<>\s]*>|[A-Za-z_][\w-]*:[\w-]+))?",
+                text,
+            )
+            lex = m.group(1).encode().decode("unicode_escape") if m.group(1) else ""
+            lang, dt = m.group(2), m.group(3)
+            if dt:
+                dt_iri = (
+                    dt[1:-1] if dt.startswith("<")
+                    else self._expand_pname(dt)[1:-1]
+                )
+                return encode_literal(lex, dt=dt_iri)
+            return encode_literal(lex, lang=lang)
+        if kind == "keyword":
+            up = text.upper()
+            if up == "A":
+                return encode_iri(RDF_TYPE)
+            if up in ("TRUE", "FALSE"):
+                return encode_literal(up.lower(), dt=_XSD + "boolean")
+            self._check_supported(up)
+        raise ValueError(f"SPARQL: unexpected term {text!r}")
+
+    # -- grammar -------------------------------------------------------------
+    def parse(self) -> ParsedQuery:
+        while self._kw() == "PREFIX":
+            self._next()
+            k, name = self._next()
+            if k != "pname" or not name.endswith(":"):
+                raise ValueError(f"SPARQL: bad PREFIX name {name!r}")
+            k, iri = self._next()
+            if k != "iri":
+                raise ValueError(f"SPARQL: bad PREFIX iri {iri!r}")
+            self.prefixes[name[:-1]] = iri[1:-1]
+        form = self._kw()
+        self._check_supported(form)
+        if form == "SELECT":
+            return self._select()
+        if form == "ASK":
+            return self._ask()
+        if form == "CONSTRUCT":
+            return self._construct()
+        raise ValueError(f"SPARQL: expected SELECT/ASK/CONSTRUCT, got {form!r}")
+
+    def _select(self) -> ParsedQuery:
+        self._next()
+        q = ParsedQuery(kind="select", where=[])
+        if self._kw() == "DISTINCT":
+            self._next()
+            q.distinct = True
+        if self._kw() == "REDUCED":
+            self._next()
+        if self._peek()[1] == "*":
+            self._next()
+        else:
+            q.select_vars = []
+            while self._peek()[0] == "var":
+                q.select_vars.append(self._next()[1][1:])
+            if not q.select_vars:
+                raise ValueError("SPARQL: SELECT needs ?vars or *")
+        if self._kw() == "WHERE":
+            self._next()
+        self._group(q)
+        self._modifiers(q)
+        return q
+
+    def _ask(self) -> ParsedQuery:
+        self._next()
+        if self._kw() == "WHERE":
+            self._next()
+        q = ParsedQuery(kind="ask", where=[])
+        self._group(q)
+        return q
+
+    def _construct(self) -> ParsedQuery:
+        self._next()
+        q = ParsedQuery(kind="construct", where=[])
+        tmpl_holder = ParsedQuery(kind="construct", where=[])
+        self._group(tmpl_holder, filters_allowed=False)
+        q.template = tmpl_holder.where
+        self._expect("WHERE")
+        self._group(q)
+        self._modifiers(q)
+        return q
+
+    def _group(self, q: ParsedQuery, filters_allowed: bool = True) -> None:
+        self._expect("{")
+        while True:
+            k, v = self._peek()
+            if v == "}":
+                self._next()
+                return
+            if k == "eof":
+                raise ValueError("SPARQL: unterminated group (missing })")
+            if k == "keyword" and v.upper() == "FILTER":
+                if not filters_allowed:
+                    raise ValueError("SPARQL: FILTER not allowed here")
+                self._next()
+                q.filters.append(self._filter())
+            else:
+                self._check_supported(v.upper() if k == "keyword" else "")
+                self._triples_same_subject(q)
+            if self._peek()[1] == ".":
+                self._next()
+
+    def _triples_same_subject(self, q: ParsedQuery) -> None:
+        s = self._term(self._next())
+        while True:
+            p = self._term(self._next())
+            while True:
+                o = self._term(self._next())
+                q.where.append((s, p, o))
+                if self._peek()[1] == ",":
+                    self._next()
+                    continue
+                break
+            if self._peek()[1] == ";":
+                self._next()
+                if self._peek()[1] in (".", "}"):  # trailing ;
+                    break
+                continue
+            break
+
+    def _filter(self) -> Callable[[DataFrame], Column]:
+        self._expect("(")
+        k, v = self._peek()
+        if k == "keyword" and v.upper() == "REGEX":
+            self._next()
+            self._expect("(")
+            var = self._next()
+            if var[0] != "var":
+                raise NotImplementedError(
+                    "SPARQL: REGEX over non-variable is unsupported"
+                )
+            self._expect(",")
+            pk, pat = self._next()
+            if pk != "string":
+                raise ValueError("SPARQL: REGEX pattern must be a plain string")
+            pat_text = re.fullmatch(r'"((?:[^"\\]|\\.)*)"', pat).group(1)
+            flags = ""
+            if self._peek()[1] == ",":
+                self._next()
+                fk, fv = self._next()
+                flags = re.fullmatch(r'"((?:[^"\\]|\\.)*)"', fv).group(1)
+            self._expect(")")
+            self._expect(")")
+            col = var_col(Var(var[1][1:]))
+            rx = (f"(?{flags})" if flags else "") + pat_text
+
+            def _regex(df: DataFrame, col=col, rx=rx) -> Column:
+                return _term_text(F.col(col)).rlike(rx)
+
+            return _regex
+        left = self._term(self._next())
+        op = self._next()[1]
+        if op not in ("=", "!="):
+            raise NotImplementedError(
+                f"SPARQL: FILTER operator {op!r} is outside the supported "
+                "subset (=, !=, REGEX)"
+            )
+        right = self._term(self._next())
+        self._expect(")")
+
+        def _side(t) -> Column:
+            return F.col(var_col(t)) if isinstance(t, Var) else F.lit(t)
+
+        def _cmp(df: DataFrame, l=left, r=right, op=op) -> Column:
+            c = _side(l) == _side(r)
+            return c if op == "=" else ~c
+
+        return _cmp
+
+    def _modifiers(self, q: ParsedQuery) -> None:
+        while True:
+            kw = self._kw()
+            if kw == "ORDER":
+                self._next()
+                self._expect("BY")
+                while True:
+                    k, v = self._peek()
+                    desc = False
+                    if k == "keyword" and v.upper() in ("ASC", "DESC"):
+                        desc = v.upper() == "DESC"
+                        self._next()
+                        self._expect("(")
+                        var = self._next()
+                        self._expect(")")
+                    elif k == "var":
+                        var = self._next()
+                    else:
+                        break
+                    q.order_by.append((var[1][1:], desc))
+            elif kw == "LIMIT":
+                self._next()
+                q.limit = int(self._next()[1])
+            elif kw == "OFFSET":
+                self._next()
+                q.offset = int(self._next()[1])
+            else:
+                if kw:
+                    self._check_supported(kw)
+                if self._peek()[0] != "eof":
+                    raise ValueError(
+                        f"SPARQL: trailing input at {self._peek()[1]!r}"
+                    )
+                return
+
+
+def _term_text(c: Column) -> Column:
+    """The queryable text of an encoded term: IRI body for <...>, lexical
+    form for literals, the raw token otherwise (bnodes) — what ARQ's str()/
+    REGEX sees."""
+    return (
+        F.when(c.startswith("<"), F.regexp_extract(c, r"^<(.*)>$", 1))
+        .when(c.startswith('"'), F.regexp_extract(c, r'^"((?:[^"\\]|\\.)*)"', 1))
+        .otherwise(c)
+    )
+
+
+def parse_sparql(query: str) -> ParsedQuery:
+    return _Parser(query).parse()
+
+
+def execute_sparql(reasoner, query: str) -> Union[DataFrame, bool]:
+    """Parse and run a SPARQL string against a Reasoner (Q13 text surface).
+
+    SELECT -> DataFrame whose columns are the projected variable names;
+    CONSTRUCT -> (s,p,o) DataFrame of distinct instantiated triples;
+    ASK -> bool. Execution reuses the BGP atom path (facade.select_bgp),
+    so every plan property of the native API (alpha sharing, broadcast
+    hints, store pruning) applies to text queries identically."""
+    q = parse_sparql(query)
+    if not q.where:
+        raise ValueError("SPARQL: empty graph pattern")
+    bound = reasoner.select_bgp(q.where)
+    for f in q.filters:
+        bound = bound.filter(f(bound))
+    if q.kind == "ask":
+        return not bound.limit(1).isEmpty()
+    if q.kind == "construct":
+        from arachne_spark.plans.compiler import apply_head
+
+        out = apply_head(bound, q.template).distinct()
+        if q.limit is not None:
+            out = out.limit(q.limit)
+        return out
+    # select
+    all_vars = [t.name for a in q.where for t in a if isinstance(t, Var)]
+    seen: dict = {}
+    for v in all_vars:
+        seen.setdefault(v, None)
+    names = q.select_vars if q.select_vars is not None else list(seen)
+    missing = [n for n in names if n not in seen]
+    if missing:
+        raise ValueError(f"SPARQL: projected variables not in pattern: {missing}")
+    out = bound.select(*[F.col(var_col(Var(n))).alias(n) for n in names])
+    if q.distinct:
+        out = out.distinct()
+    if q.order_by:
+        out = out.orderBy(
+            *[F.col(v).desc() if d else F.col(v).asc() for v, d in q.order_by]
+        )
+    if q.offset is not None:
+        out = out.offset(q.offset)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
