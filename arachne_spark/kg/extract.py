@@ -235,9 +235,18 @@ def linked_to_triples(
     )
     ent = F.concat(F.lit("<"), F.col(mention_col), F.lit(">"))
     enc = (lambda c: term_id_col(c, salt)) if salt is not None else (lambda c: c)
+    # thin-staged pre-encoded pipelines (build_triples(id_salt=...) with
+    # staging) hash the file IRI BEFORE the mentions staging write and carry
+    # it as `file_sid` — reuse it instead of re-deriving from repo/path/
+    # commit (which the thin schema no longer carries)
+    s_edge = (
+        F.col("file_sid")
+        if salt is not None and "file_sid" in linked.columns
+        else enc(file_iri_col())
+    )
     both = F.array(
         F.struct(
-            enc(file_iri_col()).alias("s"),
+            s_edge.alias("s"),
             enc(F.concat(F.lit("<"), pred, F.lit(">"))).alias("p"),
             enc(ent).alias("o"),
         ),

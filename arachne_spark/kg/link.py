@@ -117,7 +117,10 @@ def link_mentions_single_pass(
             c["prior"].alias("prior"),
         ),
     )
-    keys = ["repo", "path", "commit", "lang", "content_sha256", "mention", "mention_kind"]
+    # pass through EVERY corpus-side column: the pre-encoded pipeline
+    # stages a thin (file_sid, mention, mention_kind) schema instead of
+    # the seven-column string one, and linking is agnostic to which
+    keys = list(mentions.columns)
     best = F.array_min(F.filter(scored, lambda s: -s["ns"] >= min_score))
     return (
         j.withColumn("__best", best)
@@ -174,7 +177,10 @@ def link_mentions(
         )
         .select("mention", "best.canonical_iri", "best.kind", "best.alias", "best.prior", "best.score")
     )
-    keys = ["repo", "path", "commit", "lang", "content_sha256", "mention", "mention_kind"]
+    # pass through EVERY corpus-side column: the pre-encoded pipeline
+    # stages a thin (file_sid, mention, mention_kind) schema instead of
+    # the seven-column string one, and linking is agnostic to which
+    keys = list(mentions.columns)
     # extraction already dedups mentions per file batch, so the inner
     # broadcast join preserves the old one-row-per-(file, mention, kind)
     # contract without re-shuffling the corpus-side table

@@ -78,6 +78,24 @@ def build_triples(
       atexit hook removes it).
     """
     mentions = extract_mentions(code_files)
+    if id_salt is not None:
+        # Pre-encoded thin staging: the only file-side value any downstream
+        # stage needs is the file IRI's xxhash64 id (the edge triple's
+        # subject), so hash it HERE — before the staging boundary — and drop
+        # repo/path/commit/lang/content_sha256 from the staged table. At the
+        # 8M-file scale that turns the ~110-byte string row (the sha256
+        # column alone is 64 incompressible chars) into (long, mention,
+        # kind); the staging write, its re-read, and the link join-back all
+        # shrink proportionally — the remaining extract-side DRAM traffic
+        # after the abox staging went id-sided.
+        from arachne_spark.dictionary import term_id_col
+        from arachne_spark.kg.extract import file_iri_col
+
+        mentions = mentions.select(
+            term_id_col(file_iri_col(), id_salt).alias("file_sid"),
+            "mention",
+            "mention_kind",
+        )
     if staging == "checkpoint":
         mentions = mentions.localCheckpoint(eager=True)
     elif staging == "parquet":

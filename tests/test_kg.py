@@ -424,3 +424,25 @@ def test_preencoded_pipeline_matches_string_path(spark, corpus, edict):
     )
     assert spo_set(res.facts) == spo_set(base.facts)
     assert res.rounds == base.rounds
+
+
+def test_preencoded_thin_staging_schema(spark, corpus, edict, tmp_path):
+    """id_salt + parquet staging must stage the THIN mentions schema
+    (file_sid long, mention, mention_kind) — no repo/path/commit/lang/
+    sha256 strings on the staging table — while producing the same triples
+    as the unstaged pre-encoded plan."""
+    import glob
+
+    fused = build_triples(corpus, edict, dedup=False, id_salt=0)
+    staged = build_triples(
+        corpus, edict, dedup=False, id_salt=0,
+        staging="parquet", staging_dir=str(tmp_path),
+    )
+    a = sorted(tuple(r) for r in fused.collect())
+    b = sorted(tuple(r) for r in staged.collect())
+    assert a == b and len(a) > 0
+    mention_dirs = glob.glob(str(tmp_path / "mentions_*") + "/mentions")
+    assert mention_dirs, list(tmp_path.iterdir())
+    st = spark.read.parquet(mention_dirs[0])
+    assert set(st.columns) == {"file_sid", "mention", "mention_kind"}
+    assert dict(st.dtypes)["file_sid"] == "bigint"
