@@ -1046,9 +1046,10 @@ class FixpointEngine:
         dict_delta (VERDICT r3 wrong #1). Falls back to the shuffled anti for
         large batches."""
         if 0 < n_small <= self.broadcast_rows:
-            seen = big.join(
-                F.broadcast(small), on=spo, how="left_semi"
-            ).localCheckpoint(eager=True)
+            # lazy `seen`: its broadcast build runs the semi-join inline
+            # (one job at the caller's action instead of an eager checkpoint
+            # + a second job); |seen| <= n_small keeps the broadcast bounded
+            seen = big.join(F.broadcast(small), on=spo, how="left_semi")
             return small.join(F.broadcast(seen), on=spo, how="left_anti")
         return small.join(big, on=spo, how="left_anti")
 
@@ -1598,10 +1599,19 @@ class FixpointEngine:
         # only worth a job when the delta is a proper subset of facts
         # (incremental batches); a fresh round-1 delta IS facts.
         vp_cons = [self._var_pred_constraints(r) for r in ctx.rules]
+        # the delta predicate-set job only feeds the value-level pruning of
+        # CONSTRAINED var-predicate atoms — rule sets without any such atom
+        # (e.g. a plain transitive-closure rule, all predicates constant)
+        # never read delta_pvals, so skip the per-round job outright (one
+        # fewer scheduler round-trip per round, the fixed floor small-delta
+        # rounds are bound by)
+        has_vp = any(
+            bool(cons) for per_rule in vp_cons for cons in per_rule.values()
+        )
         slice_cache: dict = {}
         delta_pvals: Optional[frozenset] = (
             self._delta_pred_values(delta, delta_total)
-            if delta_total < facts_count
+            if has_vp and delta_total < facts_count
             else None
         )
 
@@ -1835,10 +1845,15 @@ class FixpointEngine:
                         facts_side = facts
                     _mark("dedup_probe")
                     if n_dd <= self.broadcast_rows:
+                        # ONE job, not two: `seen` stays a lazy plan whose
+                        # broadcast build executes the semi-join inline —
+                        # facts is still streamed map-only (no Exchange on
+                        # the big side), but the separate checkpoint job and
+                        # its scheduler round-trip are gone. |seen| <= |dd|
+                        # <= broadcast_rows, so the broadcast stays bounded.
                         seen = facts_side.join(
                             F.broadcast(dd), on=spo, how="left_semi"
-                        ).localCheckpoint(eager=True)
-                        _mark("dedup_semi")
+                        )
                         new_delta = dd.join(
                             F.broadcast(seen), on=spo, how="left_anti"
                         ).localCheckpoint(eager=True)
@@ -1854,8 +1869,11 @@ class FixpointEngine:
             _mark("stats")
             # next round's (a)-skip input: the new delta's predicate set —
             # one bounded job over the just-checkpointed delta (no job at
-            # fixpoint, where delta_out == 0)
-            delta_pvals = self._delta_pred_values(new_delta, delta_out)
+            # fixpoint, where delta_out == 0, and none at all when no rule
+            # has a constrained var-predicate atom to consume it)
+            delta_pvals = (
+                self._delta_pred_values(new_delta, delta_out) if has_vp else None
+            )
             _mark("pred_values")
 
             if self.store_derivations and delta_out > 0 and derived_meta_parts:
@@ -1933,15 +1951,18 @@ class FixpointEngine:
                 # The delta must not appear as the SAME LogicalRDD both
                 # inside the facts union and as the join-side delta relation
                 # — that trips Spark 4.1's relation deduplication ("key not
-                # found: attr") on var-predicate rule shapes. A second
-                # localCheckpoint of the (already materialized) delta is an
-                # O(|delta|) in-memory copy with fresh attribute ids — far
-                # cheaper than re-checkpointing the whole facts store every
-                # round, and keeps facts a union of per-round checkpointed
-                # components (bounded lineage, exact AQE sizes summing across
-                # components). Every `facts_refresh` rounds the union itself
-                # is re-checkpointed to bound plan width on deep fixpoints.
-                facts = facts.unionByName(new_delta.localCheckpoint(eager=True))
+                # found: attr") on var-predicate rule shapes. A zero-cost
+                # re-aliasing projection (Project with fresh Alias exprIds
+                # over the checkpointed delta) gives the union branch its own
+                # attribute ids without the O(|delta|) copy job the previous
+                # second localCheckpoint paid every round; the underlying
+                # LogicalRDD is shared, which DeduplicateRelations handles
+                # (regression-covered by the var-predicate property suite).
+                # Every `facts_refresh` rounds the union itself is
+                # re-checkpointed to bound plan width on deep fixpoints.
+                facts = facts.unionByName(
+                    new_delta.select(*[F.col(c).alias(c) for c in spo])
+                )
                 if (rnd - round0) % self.facts_refresh == 0:
                     facts = facts.localCheckpoint(eager=True)
             delta = new_delta

@@ -24,6 +24,8 @@ from typing import Optional
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+from arachne_spark.functions._parallel import fan_out
+
 log = logging.getLogger(__name__)
 
 N_BANDS = 4
@@ -166,6 +168,7 @@ def minhash_bands(
     text_col: str = "text",
     n_bands: int = N_BANDS,
     rows_per_band: int = 1,
+    _fan: bool = True,
 ) -> DataFrame:
     """(id, band, minhash): per-band LSH signature over word shingles.
 
@@ -187,6 +190,13 @@ def minhash_bands(
     # n_bands mins read that column — inlining the shingle expression into
     # each band's transform defeats subexpression elimination (measured 40x
     # slower at 5k docs)
+    if _fan:
+        # per-shingle md5 x n_bands is the module's most compute-amplifying
+        # projection; a one-file corpus scan must not pin it to one core
+        # (guide §2.5 input skew). Callers that already fanned the input
+        # (lsh_candidate_pairs) pass _fan=False — probing the partition
+        # count of their join-shaped plan would pre-execute its stages.
+        docs = fan_out(docs)
     sharr = docs.select(F.col(id_col), _shingles(text_col).alias("sh"))
 
     def _row_min(b: int, j: int):
@@ -253,6 +263,11 @@ def lsh_candidate_pairs(
     if stats is None:
         stats = {}
     stats.update(_new_stats(collapse_exact, max_bucket))
+    # fan out BEFORE the collapse semi-join: the keepers side broadcasts, so
+    # the repartitioned docs side streams map-only into the signature
+    # projection at full parallelism (guide §2.5; measured 4.37 s -> 1.06 s
+    # at sf0.1 local[32])
+    docs = fan_out(docs)
     if collapse_exact:
         docs = _collapse_exact(docs, id_col, text_col)
     # materialize the (small) signature table once — it feeds the bucket
@@ -260,7 +275,7 @@ def lsh_candidate_pairs(
     # count into the checkpoint job (no extra count job)
     obs = Observation()
     mb = (
-        minhash_bands(docs, id_col, text_col, n_bands, rows_per_band)
+        minhash_bands(docs, id_col, text_col, n_bands, rows_per_band, _fan=False)
         .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
@@ -367,6 +382,7 @@ def ngram_jaccard_pairs(
     """Verify candidate pairs by word-3-shingle Jaccard; emits
     (id_a, id_b, jaccard) for pairs >= threshold. Shingle sets are
     array_distinct'ed so this is true set-Jaccard."""
+    docs = fan_out(docs)  # shingle-set projection is compute-heavy (§2.5)
     sets = docs.select(
         F.col(id_col), F.array_distinct(_shingles(text_col)).alias("sh_set")
     )
@@ -385,7 +401,10 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    _fan: bool = True,
+) -> DataFrame:
     """64-bit SimHash over whitespace tokens with per-bit majority vote.
 
     The 64 token-hash bits come from two 32-bit halves of md5(token) (hex ->
@@ -396,6 +415,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     BIGINT semantics). Emits (id, simhash, band16_0..3) where the four 16-bit
     bands block near-dup candidates (Hamming-distance ≤3 pairs share a band
     by pigeonhole)."""
+    if _fan:
+        # per-token md5 + 64 per-bit votes: compute-amplifying — same
+        # one-file-scan fan-out rationale as minhash_bands (guide §2.5)
+        docs = fan_out(docs)
     toks = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     md5 = F.md5("tok")
     h = toks.select(
@@ -451,11 +474,12 @@ def simhash_neardup_pairs(
     if stats is None:
         stats = {}
     stats.update(_new_stats(collapse_exact, max_bucket))
+    docs = fan_out(docs)  # see lsh_candidate_pairs: fan before the collapse
     if collapse_exact:
         docs = _collapse_exact(docs, id_col, text_col)
     obs = Observation()
     sh = (
-        simhash(docs, id_col, text_col)
+        simhash(docs, id_col, text_col, _fan=False)
         .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )

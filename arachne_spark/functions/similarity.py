@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from arachne_spark.functions._parallel import fan_out
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -48,7 +50,10 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qe")
     )
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("e"))
+    # per-(query, vector) dot products are compute-amplifying; the broadcast
+    # cross join streams the corpus map-only, so fanning the (one-file-scan)
+    # corpus parallelizes the scoring (guide §2.5; 0.95 s -> 0.39 s sf0.1)
+    c = fan_out(corpus).select(F.col(id_col), _as_double(F.col(vec_col)).alias("e"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("qid"))
@@ -99,7 +104,10 @@ def ivf_assign(
         if centroids is not None
         else _default_centroids(corpus, n_centroids, id_col, vec_col)
     )
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("e"))
+    # centroids derive from the RAW corpus above (pushed-down id filter);
+    # only the scored side fans out, so the centroid probe never executes
+    # the repartition
+    c = fan_out(corpus).select(F.col(id_col), _as_double(F.col(vec_col)).alias("e"))
     scored = c.crossJoin(F.broadcast(cents)).withColumn(
         "sim", cosine_sim(F.col("ce"), F.col("e"))
     )
@@ -132,7 +140,9 @@ def cosine_neardup_pairs(
 
     Emits (id_a, id_b, sim) with id_a < id_b and sim >= threshold.
     """
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("e"))
+    # n_planes md5-seeded dot products per row: the module's heaviest
+    # projection — fan a one-file corpus scan across cores (guide §2.5)
+    c = fan_out(corpus).select(F.col(id_col), _as_double(F.col(vec_col)).alias("e"))
     # Plane p's normal vector: md5-hash-seeded coefficients in [-1, 1) per
     # dimension — engine-independent (the DuckDB oracle computes identical
     # md5 strings), and each dot product runs as a FIXED left-to-right
@@ -204,7 +214,9 @@ def ivf_topk(
         else _default_centroids(corpus, n_centroids, id_col, vec_col)
     )
     assign = ivf_assign(corpus, n_centroids, id_col, vec_col, centroids=cents)
-    bucketed = corpus.join(assign, id_col)
+    # fan the probe-scored side too: assign broadcasts, so the corpus streams
+    # map-only into the per-candidate scoring at full parallelism
+    bucketed = fan_out(corpus).join(assign, id_col)
     q = queries.select(
         F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qe")
     )

@@ -10,6 +10,8 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from arachne_spark.functions._parallel import fan_out
+
 # stopword marker lists per language (n-gram heuristic langid)
 LANG_MARKERS = {
     "en": ["the", "and", "is", "of"],
@@ -117,7 +119,14 @@ def fingerprint(
     gram: int = 8, step: int = 4,
 ) -> DataFrame:
     """(id, fp): winnowing-style rolling fingerprint — minimum md5 over char
-    8-grams sampled every 4 chars. One expression, no explode."""
+    8-grams sampled every 4 chars. One expression, no explode.
+
+    The only text operator with fan_out: ~len(text)/4 md5 calls per row is
+    compute-amplifying like minhash (guide §2.5); the length-arithmetic
+    operators (langid/quality/tokens) are too cheap for the extra shuffle
+    to pay (measured: quality 0.167 s -> 0.199 s WITH fan-out at sf0.1,
+    so they deliberately stay un-fanned)."""
+    docs = fan_out(docs)
     t = F.col(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(t) - gram + 1, F.lit(1)), F.lit(step)),
