@@ -96,6 +96,7 @@ from arachne_spark.plans.compiler import (
     join_chain,
     shared_join_chain,
 )
+from arachne_spark.plans.sqlgen import variant_selects
 from arachne_spark.rules import Any_, Rule, RuleSet, Var
 
 TRIPLE_SCHEMA = T.StructType(
@@ -415,6 +416,7 @@ class FixpointEngine:
         pred_partitioned: bool | str = "auto",
         store_threshold: int = 10_000_000,
         store_max_files: int = 2_048,
+        sql_compile: bool = True,
     ) -> None:
         self.spark = spark
         self.ruleset = ruleset
@@ -446,6 +448,14 @@ class FixpointEngine:
         )
         self.store_threshold = store_threshold
         self.store_max_files = store_max_files
+        # compile each round's surviving variants to ONE SQL statement
+        # (plans/sqlgen.py): a single py4j call + one JVM analysis pass
+        # replaces ~150-200 eagerly-analyzed DataFrame ops per round —
+        # measured 0.4-0.7 s/round of driver time on the OWL-RL rule set.
+        # The DataFrame compiler remains for provenance (needs __t structs),
+        # the per-variant probe, and as the differential baseline
+        # (sql_compile=False).
+        self.sql_compile = sql_compile
         self._string_ctx = _compile_rules(ruleset)
         self._const_terms = rule_constants(ruleset)
         self._id_ctx_cache: dict[int, _CompiledRules] = {}
@@ -1615,6 +1625,16 @@ class FixpointEngine:
             else None
         )
 
+        # SQL-text round compilation (plans/sqlgen.py): per-run view names so
+        # concurrent engines on one session never clobber each other
+        use_sql = (
+            self.sql_compile
+            and not self.store_derivations
+            and self.variant_probe is None
+        )
+        vp = f"__arachne_{os.getpid()}_{id(self) & 0xFFFFFF:x}"
+        views = (f"{vp}_facts", f"{vp}_delta", f"{vp}_fold")
+
         # budget is rounds executed THIS call — a long-lived incremental
         # store whose cumulative round numbering exceeds max_rounds must
         # still close the new batch's fixpoint
@@ -1649,6 +1669,17 @@ class FixpointEngine:
                 if 0 < delta_total <= self.broadcast_rows
                 else delta
             )
+            broadcast_delta = 0 < delta_total <= self.broadcast_rows
+            if use_sql:
+                facts.createOrReplaceTempView(views[0])
+                delta.createOrReplaceTempView(views[1])
+                facts_old.createOrReplaceTempView(views[2])
+                rel_pb = (
+                    "__pb" in facts.columns,
+                    "__pb" in delta.columns,
+                    "__pb" in facts_old.columns,
+                )
+            sql_parts: list[str] = []
 
             cache: dict = {}
             # one-pass warm of the TBox-slice value cache (round 1 does the
@@ -1729,6 +1760,34 @@ class FixpointEngine:
                     if provably_empty:
                         variants_skipped += 1
                         continue
+                    if use_sql:
+                        sql_parts.extend(
+                            variant_selects(
+                                rule,
+                                i,
+                                [
+                                    views[0] if j < i else (views[1] if j == i else views[2])
+                                    for j in range(k)
+                                ],
+                                [
+                                    rel_pb[0] if j < i else (rel_pb[1] if j == i else rel_pb[2])
+                                    for j in range(k)
+                                ],
+                                restrict,
+                                broadcast_delta,
+                                PB_BUCKETS,
+                                self.PRED_PB_CAP,
+                            )
+                        )
+                        rule_fired = True
+                        if head_preds is not None:
+                            for ha in rule.head:
+                                if _is_const(ha[1]):
+                                    head_preds.add(ha[1])
+                                else:
+                                    head_preds = None
+                                    break
+                        continue
                     dfs = [
                         facts if j < i else (delta_rel if j == i else facts_old)
                         for j in range(k)
@@ -1782,8 +1841,11 @@ class FixpointEngine:
                     rules_skipped += 1
 
             _mark("compile")
-            if derived_parts:
+            if sql_parts:
+                derived = spark.sql("\nUNION ALL\n".join(sql_parts))
+            elif derived_parts:
                 derived = reduce(DataFrame.unionByName, derived_parts)
+            if sql_parts or derived_parts:
                 if self.debug_plan_sink is not None:
                     self.debug_plan_sink.append(
                         derived._jdf.queryExecution().executedPlan().toString()
@@ -1967,6 +2029,12 @@ class FixpointEngine:
                     facts = facts.localCheckpoint(eager=True)
             delta = new_delta
 
+        if use_sql:
+            for v in views:
+                try:
+                    spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
         return FixpointResult(
             facts=facts.select(*spo) if store_dir else facts,
             asserted=asserted,
