@@ -1634,6 +1634,7 @@ class FixpointEngine:
         )
         vp = f"__arachne_{os.getpid()}_{id(self) & 0xFFFFFF:x}"
         views = (f"{vp}_facts", f"{vp}_delta", f"{vp}_fold")
+        view_sessions: set = set()
 
         # budget is rounds executed THIS call — a long-lived incremental
         # store whose cumulative round numbering exceeds max_rounds must
@@ -1670,10 +1671,23 @@ class FixpointEngine:
                 else delta
             )
             broadcast_delta = 0 < delta_total <= self.broadcast_rows
-            if use_sql:
+            # createOrReplaceTempView registers in the DATAFRAME's session,
+            # which inside foreachBatch is a per-batch session clone — the
+            # engine's self.spark would not see those views. Run the round's
+            # SQL on the relations' own session; a round whose relations
+            # span DIFFERENT sessions (streaming-incremental unions of a
+            # prior result with a new micro-batch) falls back to the
+            # DataFrame compiler, which is session-agnostic.
+            round_sql = use_sql and (
+                facts.sparkSession is delta.sparkSession
+                is facts_old.sparkSession
+            )
+            if round_sql:
+                sql_sess = facts.sparkSession
                 facts.createOrReplaceTempView(views[0])
                 delta.createOrReplaceTempView(views[1])
                 facts_old.createOrReplaceTempView(views[2])
+                view_sessions.add(sql_sess)
                 rel_pb = (
                     "__pb" in facts.columns,
                     "__pb" in delta.columns,
@@ -1760,7 +1774,7 @@ class FixpointEngine:
                     if provably_empty:
                         variants_skipped += 1
                         continue
-                    if use_sql:
+                    if round_sql:
                         sql_parts.extend(
                             variant_selects(
                                 rule,
@@ -1842,7 +1856,7 @@ class FixpointEngine:
 
             _mark("compile")
             if sql_parts:
-                derived = spark.sql("\nUNION ALL\n".join(sql_parts))
+                derived = sql_sess.sql("\nUNION ALL\n".join(sql_parts))
             elif derived_parts:
                 derived = reduce(DataFrame.unionByName, derived_parts)
             if sql_parts or derived_parts:
@@ -2029,10 +2043,10 @@ class FixpointEngine:
                     facts = facts.localCheckpoint(eager=True)
             delta = new_delta
 
-        if use_sql:
+        for sess in view_sessions:
             for v in views:
                 try:
-                    spark.catalog.dropTempView(v)
+                    sess.catalog.dropTempView(v)
                 except Exception:
                     pass
         return FixpointResult(

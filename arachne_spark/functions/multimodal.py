@@ -57,7 +57,15 @@ def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
 def decode_media(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """mapInPandas over Arrow batches: binary payload -> typed metadata +
     feature vector. The batch shape (pandas DataFrame of bytes objects in,
-    DataFrame out) is exactly what a real decoder UDF uses."""
+    DataFrame out) is exactly what a real decoder UDF uses.
+
+    The input fans out to the session's parallelism when its scan yields
+    fewer partitions (guide §2.5): per-payload decode + sha256 is the
+    textbook compute-amplifying Python stage, and a one-file corpus scan
+    would otherwise pin every Python worker's work onto one task."""
+    from arachne_spark.functions._parallel import fan_out
+
+    media = fan_out(media)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
