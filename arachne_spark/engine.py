@@ -417,6 +417,7 @@ class FixpointEngine:
         store_threshold: int = 10_000_000,
         store_max_files: int = 2_048,
         sql_compile: bool = True,
+        track_lineage: bool = False,
     ) -> None:
         self.spark = spark
         self.ruleset = ruleset
@@ -456,6 +457,12 @@ class FixpointEngine:
         # the per-variant probe, and as the differential baseline
         # (sql_compile=False).
         self.sql_compile = sql_compile
+        # per-round partition-lineage histograms need a grouped aggregate
+        # job per round; with tracking off (default) the round's exact total
+        # + gate counts ride the dedup job's Observation instead — one fewer
+        # scheduler round-trip per round. scaling_bench turns tracking on
+        # for its rows-per-partition evidence tables.
+        self.track_lineage = track_lineage
         self._string_ctx = _compile_rules(ruleset)
         self._const_terms = rule_constants(ruleset)
         self._id_ctx_cache: dict[int, _CompiledRules] = {}
@@ -558,6 +565,58 @@ class FixpointEngine:
                 counts[kk] = counts.get(kk, 0) + r["cnt"]
             lineage[r["pid"]] = lineage.get(r["pid"], 0) + r["cnt"]
         return counts, total, [lineage[k] for k in sorted(lineage)]
+
+    @staticmethod
+    def _gate_obs_aggs(ctx: _CompiledRules) -> tuple[list, list]:
+        """Observation aggregates equivalent to _delta_stats' gate counts:
+        one exact count + one conditional sum per gate key (both bounded by
+        the RULE SET's constant vocabulary, never the data's). Riding these
+        on the dedup job's Observation replaces the separate per-round
+        grouped stats job when lineage tracking is off."""
+        aggs = [F.count(F.lit(1)).alias("n")]
+        keys: list[tuple] = []
+        for p in ctx.gate_preds:
+            keys.append(("p", p))
+            aggs.append(
+                F.sum((F.col("p") == F.lit(p)).cast("long")).alias(
+                    f"g{len(keys) - 1}"
+                )
+            )
+        for p, o in ctx.gate_pairs:
+            keys.append(("po", p, o))
+            aggs.append(
+                F.sum(
+                    ((F.col("p") == F.lit(p)) & (F.col("o") == F.lit(o))).cast(
+                        "long"
+                    )
+                ).alias(f"g{len(keys) - 1}")
+            )
+        return aggs, keys
+
+    def _commit_delta(
+        self, plan: DataFrame, ctx: _CompiledRules, obs_aggs: tuple[list, list]
+    ) -> tuple[DataFrame, dict, int, list[int]]:
+        """Checkpoint the round's new delta and return
+        (delta, gate counts, exact total, lineage). Lineage tracking keeps
+        the separate grouped stats job (per-partition histogram needs
+        grouping); otherwise the counts fold into the checkpoint's own job
+        via an Observation — exact either way (EXACTNESS: the conditional
+        sums partition the same rows _delta_stats groups, so every decision
+        input — delta total, per-gate-key counts — is identical)."""
+        if self.track_lineage:
+            nd = plan.localCheckpoint(eager=True)
+            preds, total, lineage = self._delta_stats(nd, ctx)
+            return nd, preds, total, lineage
+        obs = Observation()
+        aggs, keys = obs_aggs
+        nd = plan.observe(obs, *aggs).localCheckpoint(eager=True)
+        vals = obs.get
+        preds = {}
+        for i, kk in enumerate(keys):
+            c = vals[f"g{i}"] or 0
+            if c:
+                preds[kk] = c
+        return nd, preds, vals["n"], []
 
     @staticmethod
     def _atom_key(atom) -> Optional[tuple]:
@@ -1635,6 +1694,7 @@ class FixpointEngine:
         vp = f"__arachne_{os.getpid()}_{id(self) & 0xFFFFFF:x}"
         views = (f"{vp}_facts", f"{vp}_delta", f"{vp}_fold")
         view_sessions: set = set()
+        gate_obs = self._gate_obs_aggs(ctx)
 
         # budget is rounds executed THIS call — a long-lived incremental
         # store whose cumulative round numbering exceeds max_rounds must
@@ -1903,8 +1963,10 @@ class FixpointEngine:
                     self._probe_parts = []
                     _mark("probe")
                 if n_dd == 0:
-                    # fixpoint reached: skip the anti-join jobs entirely
+                    # fixpoint reached: skip the anti-join AND stats jobs
+                    # entirely (an empty delta has trivially empty counts)
                     new_delta = dd
+                    new_preds, delta_out, lineage = {}, 0, []
                 else:
                     # a facts row can only collide with dd on an (s,p,o) key
                     # if its predicate occurs in dd, so the facts side of the
@@ -1930,18 +1992,18 @@ class FixpointEngine:
                         seen = facts_side.join(
                             F.broadcast(dd), on=spo, how="left_semi"
                         )
-                        new_delta = dd.join(
+                        nd_plan = dd.join(
                             F.broadcast(seen), on=spo, how="left_anti"
-                        ).localCheckpoint(eager=True)
-                        _mark("dedup_anti")
+                        )
                     else:
-                        new_delta = dd.join(
-                            facts_side, on=spo, how="left_anti"
-                        ).localCheckpoint(eager=True)
-                        _mark("dedup_anti")
+                        nd_plan = dd.join(facts_side, on=spo, how="left_anti")
+                    new_delta, new_preds, delta_out, lineage = (
+                        self._commit_delta(nd_plan, ctx, gate_obs)
+                    )
+                    _mark("dedup_anti")
             else:
                 new_delta = _empty_like(facts).localCheckpoint(eager=True)
-            new_preds, delta_out, lineage = self._delta_stats(new_delta, ctx)
+                new_preds, delta_out, lineage = {}, 0, []
             _mark("stats")
             # next round's (a)-skip input: the new delta's predicate set —
             # one bounded job over the just-checkpointed delta (no job at

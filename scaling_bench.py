@@ -315,7 +315,12 @@ def run_level(cores: int, n_files: int, mode: str = "local") -> dict:
             )
         )
     rules = RuleSet(list(owl_rl_core()) + [indirect_type_rule()])
-    engine = FixpointEngine(spark, rules, checkpoint_dir=ckpt_dir)
+    # track_lineage: the scaling report's rows-per-partition tables need the
+    # per-round histogram (r6: off by default — it costs one grouped stats
+    # job per round that the headline bench no longer pays)
+    engine = FixpointEngine(
+        spark, rules, checkpoint_dir=ckpt_dir, track_lineage=True
+    )
     # PRE-ENCODED long-id extraction (SPARK_GRAFT_PREENC=1, the default;
     # requires the dims vocabulary): build the dictionary FIRST from the
     # thin dimension tables, then have the extract/link plan emit xxhash64
