@@ -1924,6 +1924,12 @@ class FixpointEngine:
                     self.debug_plan_sink.append(
                         derived._jdf.queryExecution().executedPlan().toString()
                     )
+                # (A fully-fused round — distinct+anti+commit in one job —
+                # was prototyped and reverted: a plan holding the derive
+                # self-joins AND the facts anti side together trips Spark
+                # 4.1's relation deduplication with "key not found: <attr>"
+                # in InferFiltersFromConstraints, in shapes fresh-aliasing
+                # does not fix. The two-job round below stands.)
                 # Dedup new heads, then subtract known facts. The derived set
                 # is distinct'd and checkpointed FIRST so the driver can pick
                 # the anti-join physical by its actual size: small derived →
