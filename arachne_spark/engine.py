@@ -918,6 +918,54 @@ class FixpointEngine:
         asserted = asserted.select(*TRIPLE_COLS)
         use_ids = self.dict_encode
         n_in: Optional[int] = row_hint
+        if (
+            use_ids == "auto"
+            and n_in is None
+            and self.pred_partitioned is False
+            and vocab is None
+        ):
+            # Size-unknown auto mode without a store: fold the sizing count
+            # into the stage-0 distinct's own job (Observation) instead of a
+            # separate count pass over the input — the distinct must run
+            # either way, and the threshold is a heuristic, so comparing the
+            # DISTINCT count against it is as principled as the raw count.
+            # Below the threshold the checkpointed distinct IS the string-
+            # mode facts relation (zero extra work); at/above it the
+            # dictionary builds from the (deduped, checkpointed) distinct —
+            # per-column vocab distincts over fewer rows than the raw input
+            # the old path scanned — and encode is a pure projection whose
+            # output is already distinct. Store-auto / forced-store runs
+            # keep the explicit count (the store write needs the distinct
+            # LAZY, and store sizing precedes it).
+            obs = Observation()
+            facts_str = (
+                asserted.distinct()
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True)
+            )
+            n_in = obs.get["n"]
+            _mark0("stage0_distinct")
+            if n_in < self.dict_threshold:
+                self._write_meta(ids=False)
+                return self._run(
+                    facts_str, facts_str, round0=0, prior_metrics=[],
+                    derivations=None, ctx=self._string_ctx, use_store=False,
+                )
+            salt, term_dict = build_term_dict(
+                self.spark, facts_str, self._const_terms
+            )
+            _mark0("dict_build")
+            ctx = self._ctx_for_salt(salt)
+            self._write_meta(ids=True, salt=salt)
+            # injectivity was verified by build_term_dict, so encoding the
+            # distinct string facts yields already-distinct id rows
+            facts_ids = encode_ids(facts_str, salt).localCheckpoint(eager=True)
+            _mark0("encode")
+            raw = self._run(
+                facts_ids, facts_ids, round0=0, prior_metrics=[],
+                derivations=None, ctx=ctx, use_store=False,
+            )
+            return self._wrap_ids(raw, term_dict, salt, strict=False)
         if n_in is None and (use_ids == "auto" or self.pred_partitioned == "auto"):
             # one count pass (cheap for parquet/checkpointed inputs) decides
             # whether the dictionary's / bucketed store's fixed jobs amortize
