@@ -618,6 +618,35 @@ class FixpointEngine:
                 preds[kk] = c
         return nd, preds, vals["n"], []
 
+    def _stage0_checkpoint(
+        self, distinct_plan: DataFrame, ctx: _CompiledRules
+    ) -> tuple[DataFrame, int, Optional[tuple]]:
+        """Checkpoint the stage-0 distinct with the round-0 stats riding the
+        checkpoint's OWN job via an Observation — (facts, row count, stats0)
+        where stats0 = (gate counts, total, lineage) feeds _run's round-0
+        _delta_stats slot. Same EXACTNESS argument as _commit_delta: the
+        conditional sums partition exactly the rows the checkpoint
+        materializes, so every skip-decision input is identical to the
+        separate grouped job's. Lineage tracking keeps the grouped stats job
+        (the per-partition histogram needs grouping) by returning
+        stats0=None."""
+        obs = Observation()
+        if self.track_lineage:
+            facts = (
+                distinct_plan.observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True)
+            )
+            return facts, obs.get["n"], None
+        aggs, keys = self._gate_obs_aggs(ctx)
+        facts = distinct_plan.observe(obs, *aggs).localCheckpoint(eager=True)
+        vals = obs.get
+        preds = {
+            kk: vals[f"g{i}"]
+            for i, kk in enumerate(keys)
+            if vals[f"g{i}"]
+        }
+        return facts, vals["n"], (preds, vals["n"], [])
+
     @staticmethod
     def _atom_key(atom) -> Optional[tuple]:
         """The alpha-count key this atom's emptiness can be checked against."""
@@ -937,20 +966,20 @@ class FixpointEngine:
             # output is already distinct. Store-auto / forced-store runs
             # keep the explicit count (the store write needs the distinct
             # LAZY, and store sizing precedes it).
-            obs = Observation()
-            facts_str = (
-                asserted.distinct()
-                .observe(obs, F.count(F.lit(1)).alias("n"))
-                .localCheckpoint(eager=True)
+            facts_str, n_in, stats0 = self._stage0_checkpoint(
+                asserted.distinct(), self._string_ctx
             )
-            n_in = obs.get["n"]
             _mark0("stage0_distinct")
             if n_in < self.dict_threshold:
                 self._write_meta(ids=False)
                 return self._run(
                     facts_str, facts_str, round0=0, prior_metrics=[],
                     derivations=None, ctx=self._string_ctx, use_store=False,
+                    stats0=stats0,
                 )
+            # >= threshold: the observed gate counts keyed the STRING ctx;
+            # the id run re-derives its own (one stats job amortized by the
+            # dictionary-scale input)
             salt, term_dict = build_term_dict(
                 self.spark, facts_str, self._const_terms
             )
@@ -959,11 +988,13 @@ class FixpointEngine:
             self._write_meta(ids=True, salt=salt)
             # injectivity was verified by build_term_dict, so encoding the
             # distinct string facts yields already-distinct id rows
-            facts_ids = encode_ids(facts_str, salt).localCheckpoint(eager=True)
+            facts_ids, _, stats0 = self._stage0_checkpoint(
+                encode_ids(facts_str, salt), ctx
+            )
             _mark0("encode")
             raw = self._run(
                 facts_ids, facts_ids, round0=0, prior_metrics=[],
-                derivations=None, ctx=ctx, use_store=False,
+                derivations=None, ctx=ctx, use_store=False, stats0=stats0,
             )
             return self._wrap_ids(raw, term_dict, salt, strict=False)
         if n_in is None and (use_ids == "auto" or self.pred_partitioned == "auto"):
@@ -983,14 +1014,17 @@ class FixpointEngine:
             # checkpoint of the full fact set — the r2-measured ~5x-cost
             # write)
             facts = asserted.distinct()
+            stats0 = None
             if not use_store:
                 # the result's `asserted` is the checkpointed distinct —
                 # self-contained outside foreachBatch at zero extra cost
-                facts = facts.localCheckpoint(eager=True)
+                facts, _, stats0 = self._stage0_checkpoint(
+                    facts, self._string_ctx
+                )
                 _mark0("stage0_distinct")
             return self._run(
                 facts, facts, round0=0, prior_metrics=[], derivations=None,
-                ctx=self._string_ctx, use_store=use_store,
+                ctx=self._string_ctx, use_store=use_store, stats0=stats0,
             )
         salt, term_dict = build_term_dict(
             self.spark, asserted, self._const_terms, vocab=vocab
@@ -999,12 +1033,13 @@ class FixpointEngine:
         ctx = self._ctx_for_salt(salt)
         self._write_meta(ids=True, salt=salt)
         facts_ids = encode_ids(asserted, salt).distinct()
+        stats0 = None
         if not use_store:
-            facts_ids = facts_ids.localCheckpoint(eager=True)
+            facts_ids, _, stats0 = self._stage0_checkpoint(facts_ids, ctx)
             _mark0("encode")
         raw = self._run(
             facts_ids, facts_ids, round0=0, prior_metrics=[], derivations=None,
-            ctx=ctx, use_store=use_store,
+            ctx=ctx, use_store=use_store, stats0=stats0,
         )
         return self._wrap_ids(raw, term_dict, salt, strict=vocab is not None)
 
@@ -1067,12 +1102,13 @@ class FixpointEngine:
         ctx = self._ctx_for_salt(salt)
         self._write_meta(ids=True, salt=salt)
         facts_ids = asserted_ids.distinct()
+        stats0 = None
         if not use_store:
-            facts_ids = facts_ids.localCheckpoint(eager=True)
+            facts_ids, _, stats0 = self._stage0_checkpoint(facts_ids, ctx)
             _mark0("stage0_distinct")
         raw = self._run(
             facts_ids, facts_ids, round0=0, prior_metrics=[], derivations=None,
-            ctx=ctx, use_store=use_store,
+            ctx=ctx, use_store=use_store, stats0=stats0,
         )
         return self._wrap_ids(raw, term_dict, salt, strict=True)
 
@@ -1610,6 +1646,7 @@ class FixpointEngine:
         facts_old0: Optional[DataFrame] = None,
         use_store: Optional[bool] = None,
         commit_seed: bool = False,
+        stats0: Optional[tuple] = None,
     ) -> FixpointResult:
         spark = self.spark
         spo = list(TRIPLE_COLS)
@@ -1651,9 +1688,17 @@ class FixpointEngine:
                 round0, delta, prior_metrics[-1], delta_to_disk=not use_store
             )
         # one aggregation job per delta yields total count, per-predicate counts
-        # (variant skipping) and per-partition lineage (metrics) together
+        # (variant skipping) and per-partition lineage (metrics) together —
+        # unless the caller already collected them off the stage-0
+        # checkpoint's own Observation (stats0), in which case round 0 costs
+        # no job here at all
         _t0 = time.time()
-        delta_preds, delta_total, delta_lineage = self._delta_stats(delta, ctx)
+        if stats0 is not None and round0 == 0 and delta0 is None:
+            delta_preds, delta_total, delta_lineage = stats0
+        else:
+            delta_preds, delta_total, delta_lineage = self._delta_stats(
+                delta, ctx
+            )
         ph0 = getattr(self, "_setup_ph", None)
         if ph0 is not None and round0 == 0:
             ph0["stats0"] = round(time.time() - _t0, 4)

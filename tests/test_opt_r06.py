@@ -108,3 +108,28 @@ def test_canonicalize_driver_matches_distributed(spark, tmp_path):
     m = dict(fast)
     assert m["http://x/A"] == m["http://x/B"] == "http://x/A"
     assert m["http://x/C"] == "http://x/C"
+
+
+def test_stage0_observation_stats_match_grouped_job(spark):
+    """Round-0 stats folded into the stage-0 checkpoint's Observation must be
+    bit-identical to the separate grouped _delta_stats job they replace
+    (gate counts + total; lineage is the documented opt-in exception)."""
+    rules = load_rules_json(_RULES)
+    eng = FixpointEngine(spark, rules)
+    data = spark.createDataFrame(_ROWS, TRIPLE_SCHEMA)
+    ctx = eng._string_ctx
+    facts, n, stats0 = eng._stage0_checkpoint(data.distinct(), ctx)
+    preds_ref, total_ref, _ = eng._delta_stats(facts, ctx)
+    assert stats0 is not None
+    preds_obs, total_obs, lineage_obs = stats0
+    assert total_obs == total_ref == n == len(set(_ROWS))
+    assert preds_obs == preds_ref
+    assert lineage_obs == []
+    # lineage tracking keeps the grouped job path (stats0 None)
+    eng_l = FixpointEngine(spark, rules, track_lineage=True)
+    _, n_l, stats0_l = eng_l._stage0_checkpoint(data.distinct(), ctx)
+    assert stats0_l is None and n_l == n
+    # end-to-end: folded and grouped paths materialize identical facts
+    a = sorted(tuple(r) for r in eng.materialize(data).facts.collect())
+    b = sorted(tuple(r) for r in eng_l.materialize(data).facts.collect())
+    assert a == b
